@@ -1,0 +1,36 @@
+"""Global configuration for cupyimg_tpu.
+
+The reference has no config system; behavior switches are kwargs plus CuPy
+env vars (SURVEY.md §5).  Here a small config object centralizes the few
+framework-level switches, chiefly the float64 strategy: TPU has no native
+f64, so the SciPy-parity ``dtype_mode='ndimage'`` (f64 accumulation,
+reference cupyimg/scipy/ndimage/_util.py:28-40) only yields true f64 when
+JAX x64 is enabled (CPU tests); on TPU it silently computes in f32.
+"""
+
+import os
+
+
+class _Config:
+    """Mutable global knobs (threadsafe enough for the library use-case)."""
+
+    def __init__(self):
+        # Default dtype policy for ndimage filters. The reference defaults to
+        # 'ndimage' (f64) for SciPy parity; on TPU 'float' (native f32) is the
+        # performant choice, so we keep 'ndimage' as the API default (parity)
+        # and let x64-off JAX degrade f64 -> f32 transparently.
+        self.default_dtype_mode = os.environ.get(
+            "CUPYIMG_TPU_DTYPE_MODE", "ndimage"
+        )
+        # Use Pallas kernels where available ('auto' => only on TPU backend).
+        self.use_pallas = os.environ.get("CUPYIMG_TPU_USE_PALLAS", "auto")
+
+    def pallas_enabled(self) -> bool:
+        if self.use_pallas == "auto":
+            import jax
+
+            return jax.default_backend() == "tpu"
+        return self.use_pallas in ("1", "true", "on", "yes")
+
+
+config = _Config()

@@ -1,0 +1,48 @@
+"""scipy.ndimage-compatible API on TPU-native JAX engines.
+
+Mirrors reference cupyimg/scipy/ndimage/__init__.py exports.
+"""
+
+from cupyimg_tpu.scipy.ndimage.filters import (  # noqa: F401
+    correlate,
+    convolve,
+    correlate1d,
+    convolve1d,
+    uniform_filter,
+    uniform_filter1d,
+    gaussian_filter,
+    gaussian_filter1d,
+    prewitt,
+    sobel,
+    generic_laplace,
+    laplace,
+    gaussian_laplace,
+    generic_gradient_magnitude,
+    gaussian_gradient_magnitude,
+    minimum_filter,
+    maximum_filter,
+    minimum_filter1d,
+    maximum_filter1d,
+    rank_filter,
+    median_filter,
+    percentile_filter,
+)
+from cupyimg_tpu.scipy.ndimage.morphology import (  # noqa: F401
+    generate_binary_structure,
+    iterate_structure,
+    binary_erosion,
+    binary_dilation,
+    binary_opening,
+    binary_closing,
+    binary_hit_or_miss,
+    binary_propagation,
+    binary_fill_holes,
+    grey_erosion,
+    grey_dilation,
+    grey_opening,
+    grey_closing,
+    morphological_gradient,
+    morphological_laplace,
+    white_tophat,
+    black_tophat,
+)

@@ -1,0 +1,434 @@
+"""scipy.ndimage morphology on TPU-native JAX engines.
+
+API parity with reference cupyimg/scipy/ndimage/morphology.py (SURVEY.md C13):
+binary erosion/dilation/opening/closing/hit-or-miss/propagation/fill-holes
+and grey-scale morphology built on the min/max stencil engine.
+
+TPU-first redesign notes:
+
+- The reference's memoized binary-erosion CUDA kernel with early-exit
+  variants (morphology.py:41-130) becomes a boolean AND/OR tap reduction
+  (no divergence win on the VPU, SURVEY.md N3).
+- Iterative ops (`iterations < 1`, propagation, fill_holes) run as
+  ``lax.while_loop`` fixpoints with an on-device convergence reduction —
+  replacing the reference's host-sync ``(input == tmp).all()`` loop
+  (morphology.py:313-321) with a jit-compatible, sync-free loop.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from cupyimg_tpu.core import boundary, dtypes, util
+from cupyimg_tpu.ops import stencil
+from cupyimg_tpu.scipy.ndimage.filters import _min_or_max_filter
+
+__all__ = [
+    "generate_binary_structure",
+    "iterate_structure",
+    "binary_erosion",
+    "binary_dilation",
+    "binary_opening",
+    "binary_closing",
+    "binary_hit_or_miss",
+    "binary_propagation",
+    "binary_fill_holes",
+    "grey_erosion",
+    "grey_dilation",
+    "grey_opening",
+    "grey_closing",
+    "morphological_gradient",
+    "morphological_laplace",
+    "white_tophat",
+    "black_tophat",
+]
+
+
+def generate_binary_structure(rank, connectivity):
+    """Binary structuring element (scipy parity; host-side numpy, it's tiny)."""
+    if connectivity < 1:
+        connectivity = 1
+    if rank < 1:
+        return np.asarray(True, dtype=bool)
+    output = np.abs(np.indices([3] * rank) - 1)
+    output = np.add.reduce(output, 0)
+    return np.asarray(output <= connectivity)
+
+
+def iterate_structure(structure, iterations, origin=None):
+    """Dilate a structure with itself ``iterations - 1`` times (scipy parity)."""
+    structure = np.asarray(structure)
+    if iterations < 2:
+        return structure.copy()
+    ni = iterations - 1
+    shape = [ii + ni * (ii - 1) for ii in structure.shape]
+    pos = [ni * (structure.shape[ii] // 2) for ii in range(len(shape))]
+    slc = tuple(
+        slice(pos[ii], pos[ii] + structure.shape[ii]) for ii in range(len(shape))
+    )
+    out = np.zeros(shape, bool)
+    out[slc] = structure != 0
+    out = np.asarray(
+        binary_dilation(jnp.asarray(out), jnp.asarray(structure != 0),
+                        iterations=ni)
+    )
+    if origin is None:
+        return out
+    origin = util.fix_sequence_arg(origin, structure.ndim, "origin", int)
+    return out, [iterations * o for o in origin]
+
+
+def _normalize_structure(structure, input, origin):
+    if structure is None:
+        structure = generate_binary_structure(input.ndim, 1)
+    else:
+        structure = np.asarray(structure) != 0
+    if structure.ndim != input.ndim:
+        raise RuntimeError("structure rank must equal input rank")
+    origins = util.fix_sequence_arg(origin, input.ndim, "origin", int)
+    return structure, origins
+
+
+def _erosion_once(x, taps, pad_width, border_value):
+    """One erosion step: AND over structure taps, border extended with
+    border_value (constant pad)."""
+    xp = boundary.pad(x, pad_width, "constant", border_value)
+    out = None
+    for off in taps:
+        sl = tuple(slice(o, o + n) for o, n in zip(off, x.shape))
+        piece = xp[sl]
+        out = piece if out is None else out & piece
+    return out
+
+
+def _dilation_once(x, taps, pad_width, border_value):
+    xp = boundary.pad(x, pad_width, "constant", border_value)
+    out = None
+    for off in taps:
+        sl = tuple(slice(o, o + n) for o, n in zip(off, x.shape))
+        piece = xp[sl]
+        out = piece if out is None else out | piece
+    return out
+
+
+def _iterate_binary_op(x0, step, iterations, mask):
+    """Apply ``step`` repeatedly with scipy's mask/iterations semantics.
+
+    iterations >= 1: static python loop (fits jit tracing).
+    iterations < 1: run to fixpoint via ``lax.while_loop`` — convergence is
+    an on-device ``any`` reduction, no host syncs (unlike reference
+    morphology.py:313-321).
+    """
+    if mask is not None:
+        mask = jnp.asarray(mask) != 0
+
+    def masked(new, prev):
+        return jnp.where(mask, new, prev) if mask is not None else new
+
+    if iterations >= 1:
+        y = x0
+        for _ in range(int(iterations)):
+            y = masked(step(y), y)
+        return y
+
+    def cond(carry):
+        _, changed = carry
+        return changed
+
+    def body(carry):
+        y, _ = carry
+        y2 = masked(step(y), y)
+        return y2, jnp.any(y2 != y)
+
+    y0 = masked(step(x0), x0)
+    y, _ = lax.while_loop(cond, body, (y0, jnp.any(y0 != x0)))
+    return y
+
+
+def _binary_erosion(
+    input, structure, iterations, mask, output, border_value, origin, invert,
+):
+    """Shared binary erosion/dilation driver (reference morphology.py:204-333).
+
+    ``invert=True`` computes dilation: OR over the mirrored structure — the
+    same trick the reference (and scipy) use, expressed functionally.
+    """
+    input = jnp.asarray(input) != 0
+    structure, origins = _normalize_structure(structure, input, origin)
+    border_value = bool(border_value)
+    if invert:
+        structure = structure[tuple([slice(None, None, -1)] * structure.ndim)]
+        origins = [
+            -o - 1 if w % 2 == 0 else -o
+            for o, w in zip(origins, structure.shape)
+        ]
+    for o, w in zip(origins, structure.shape):
+        util.check_origin(o, w)
+    taps, pad_width = stencil.footprint_offsets(structure, origins)
+
+    if invert:
+        step = lambda y: _dilation_once(y, taps, pad_width, border_value)  # noqa: E731
+    else:
+        step = lambda y: _erosion_once(y, taps, pad_width, border_value)  # noqa: E731
+
+    result = _iterate_binary_op(input, step, iterations, mask)
+    out_dtype = dtypes.resolve_output_dtype(output, np.bool_)
+    return result.astype(out_dtype)
+
+
+def binary_erosion(
+    input, structure=None, iterations=1, mask=None, output=None,
+    border_value=0, origin=0, brute_force=False,
+):
+    """Multidimensional binary erosion (scipy parity).
+
+    ``brute_force`` is accepted for parity; this implementation always
+    processes every element (dense VPU ops — the candidate-tracking
+    optimization is a host-pointer-chasing trick with no TPU analog).
+    """
+    del brute_force
+    return _binary_erosion(
+        input, structure, iterations, mask, output, border_value, origin,
+        False,
+    )
+
+
+def binary_dilation(
+    input, structure=None, iterations=1, mask=None, output=None,
+    border_value=0, origin=0, brute_force=False,
+):
+    """Multidimensional binary dilation (scipy parity)."""
+    del brute_force
+    return _binary_erosion(
+        input, structure, iterations, mask, output, border_value, origin,
+        True,
+    )
+
+
+def binary_opening(
+    input, structure=None, iterations=1, output=None, origin=0, mask=None,
+    border_value=0, brute_force=False,
+):
+    """Binary opening: dilation of the erosion (scipy parity)."""
+    tmp = binary_erosion(
+        input, structure, iterations, mask, None, border_value, origin,
+        brute_force,
+    )
+    return binary_dilation(
+        tmp, structure, iterations, mask, output, border_value, origin,
+        brute_force,
+    )
+
+
+def binary_closing(
+    input, structure=None, iterations=1, output=None, origin=0, mask=None,
+    border_value=0, brute_force=False,
+):
+    """Binary closing: erosion of the dilation (scipy parity)."""
+    tmp = binary_dilation(
+        input, structure, iterations, mask, None, border_value, origin,
+        brute_force,
+    )
+    return binary_erosion(
+        tmp, structure, iterations, mask, output, border_value, origin,
+        brute_force,
+    )
+
+
+def binary_hit_or_miss(
+    input, structure1=None, structure2=None, output=None, origin1=0,
+    origin2=None,
+):
+    """Hit-or-miss transform (scipy parity):
+    ``erosion(x, s1) & erosion(~x, s2)`` with complement border."""
+    input = jnp.asarray(input) != 0
+    if structure1 is None:
+        structure1 = generate_binary_structure(input.ndim, 1)
+    structure1 = np.asarray(structure1) != 0
+    if structure2 is None:
+        structure2 = np.logical_not(structure1)
+    else:
+        structure2 = np.asarray(structure2) != 0
+    origin1 = util.fix_sequence_arg(origin1, input.ndim, "origin1", int)
+    if origin2 is None:
+        origin2 = list(origin1)
+    else:
+        origin2 = util.fix_sequence_arg(origin2, input.ndim, "origin2", int)
+
+    tmp1 = _binary_erosion(
+        input, structure1, 1, None, None, 0, origin1, False
+    )
+    tmp2 = _binary_erosion(
+        jnp.logical_not(input), structure2, 1, None, None, 1, origin2, False
+    )
+    result = jnp.logical_and(tmp1, tmp2)
+    out_dtype = dtypes.resolve_output_dtype(output, np.bool_)
+    return result.astype(out_dtype)
+
+
+def binary_propagation(
+    input, structure=None, mask=None, output=None, border_value=0, origin=0,
+):
+    """Binary propagation of ``input`` inside ``mask`` — dilation to
+    fixpoint (scipy parity; reference morphology.py:684-723)."""
+    return binary_dilation(
+        input, structure, -1, mask, output, border_value, origin,
+    )
+
+
+def binary_fill_holes(input, structure=None, output=None, origin=0):
+    """Fill holes: propagate background from the border, invert
+    (scipy parity; reference morphology.py:726-766)."""
+    input = jnp.asarray(input)
+    mask = jnp.logical_not(input != 0)
+    tmp = jnp.zeros(mask.shape, bool)
+    filled = binary_dilation(tmp, structure, -1, mask, None, 1, origin)
+    result = jnp.logical_not(filled)
+    out_dtype = dtypes.resolve_output_dtype(output, np.bool_)
+    return result.astype(out_dtype)
+
+
+# ---------------------------------------------------------------------------
+# grey-scale morphology (delegates to the min/max stencil engine, as the
+# reference delegates to filters._min_or_max_filter — morphology.py:769-888)
+# ---------------------------------------------------------------------------
+
+
+def _grey_structure(size, footprint, structure, ndim):
+    if size is None and footprint is None and structure is None:
+        raise ValueError(
+            "size, footprint or structure must be specified"
+        )
+    if structure is not None:
+        structure = np.asarray(structure, dtype=np.float64)
+    if footprint is not None:
+        footprint = np.asarray(footprint) != 0
+    return size, footprint, structure
+
+
+def grey_erosion(
+    input, size=None, footprint=None, structure=None, output=None,
+    mode="reflect", cval=0.0, origin=0,
+):
+    """Grey-scale erosion (scipy parity)."""
+    size, footprint, structure = _grey_structure(
+        size, footprint, structure, jnp.ndim(input)
+    )
+    return _min_or_max_filter(
+        input, size, footprint, structure, output, mode, cval, origin, True
+    )
+
+
+def grey_dilation(
+    input, size=None, footprint=None, structure=None, output=None,
+    mode="reflect", cval=0.0, origin=0,
+):
+    """Grey-scale dilation (scipy parity).
+
+    scipy mirrors the structure/footprint and negates origins (with the
+    even-size shift) before taking the max; the same is done here since the
+    max filter itself reduces over the unmirrored window.
+    """
+    size, footprint, structure = _grey_structure(
+        size, footprint, structure, jnp.ndim(input)
+    )
+    ndim = jnp.ndim(input)
+    origins = util.fix_sequence_arg(origin, ndim, "origin", int)
+    if structure is not None:
+        structure = structure[tuple([slice(None, None, -1)] * structure.ndim)]
+        shape = structure.shape
+    if footprint is not None:
+        footprint = footprint[tuple([slice(None, None, -1)] * footprint.ndim)]
+        shape = footprint.shape
+    if structure is None and footprint is None:
+        shape = tuple(util.fix_sequence_arg(size, ndim, "size", int))
+    origins = [
+        -o - 1 if w % 2 == 0 else -o for o, w in zip(origins, shape)
+    ]
+    return _min_or_max_filter(
+        input, size, footprint, structure, output, mode, cval, origins, False
+    )
+
+
+def grey_opening(
+    input, size=None, footprint=None, structure=None, output=None,
+    mode="reflect", cval=0.0, origin=0,
+):
+    """Grey opening: dilation of the erosion (scipy parity)."""
+    tmp = grey_erosion(
+        input, size, footprint, structure, None, mode, cval, origin
+    )
+    return grey_dilation(
+        tmp, size, footprint, structure, output, mode, cval, origin
+    )
+
+
+def grey_closing(
+    input, size=None, footprint=None, structure=None, output=None,
+    mode="reflect", cval=0.0, origin=0,
+):
+    """Grey closing: erosion of the dilation (scipy parity)."""
+    tmp = grey_dilation(
+        input, size, footprint, structure, None, mode, cval, origin
+    )
+    return grey_erosion(
+        tmp, size, footprint, structure, output, mode, cval, origin
+    )
+
+
+def morphological_gradient(
+    input, size=None, footprint=None, structure=None, output=None,
+    mode="reflect", cval=0.0, origin=0,
+):
+    """Dilation minus erosion (scipy parity)."""
+    d = grey_dilation(input, size, footprint, structure, None, mode, cval,
+                      origin)
+    e = grey_erosion(input, size, footprint, structure, None, mode, cval,
+                     origin)
+    out_dtype = dtypes.resolve_output_dtype(output, jnp.asarray(input).dtype)
+    return (d - e).astype(out_dtype)
+
+
+def morphological_laplace(
+    input, size=None, footprint=None, structure=None, output=None,
+    mode="reflect", cval=0.0, origin=0,
+):
+    """Dilation + erosion - 2*input (scipy parity)."""
+    input = jnp.asarray(input)
+    d = grey_dilation(input, size, footprint, structure, None, mode, cval,
+                      origin)
+    e = grey_erosion(input, size, footprint, structure, None, mode, cval,
+                     origin)
+    out_dtype = dtypes.resolve_output_dtype(output, input.dtype)
+    return (d + e - 2 * input).astype(out_dtype)
+
+
+def white_tophat(
+    input, size=None, footprint=None, structure=None, output=None,
+    mode="reflect", cval=0.0, origin=0,
+):
+    """Input minus grey opening (scipy parity)."""
+    input = jnp.asarray(input)
+    opened = grey_opening(input, size, footprint, structure, None, mode, cval,
+                          origin)
+    out_dtype = dtypes.resolve_output_dtype(output, input.dtype)
+    if input.dtype == np.bool_:
+        return (input ^ opened).astype(out_dtype)
+    return (input - opened).astype(out_dtype)
+
+
+def black_tophat(
+    input, size=None, footprint=None, structure=None, output=None,
+    mode="reflect", cval=0.0, origin=0,
+):
+    """Grey closing minus input (scipy parity)."""
+    input = jnp.asarray(input)
+    closed = grey_closing(input, size, footprint, structure, None, mode, cval,
+                          origin)
+    out_dtype = dtypes.resolve_output_dtype(output, input.dtype)
+    if input.dtype == np.bool_:
+        return (closed ^ input).astype(out_dtype)
+    return (closed - input).astype(out_dtype)
