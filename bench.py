@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""Headline benchmark: uniform_filter(256^3 float32, size=5) on one TPU chip.
+
+Reference numbers (BASELINE.md): scipy CPU 935 ms; cupyimg on GTX 1080 Ti
+6.23 ms (including device sync). Target: >=5x the 1080 Ti (<=1.25 ms).
+
+Methodology: this dev environment reaches the TPU through a network relay
+whose per-sync latency (~40 ms) would swamp a ~1 ms kernel, and
+``block_until_ready`` on the relay returns before device completion. So the
+kernel is iterated inside one jitted ``lax.fori_loop`` (each iteration
+data-dependent on the last) at two different trip counts and the slope
+(t_N2 - t_N1) / (N2 - N1) gives the pure per-iteration device time — the
+same quantity the reference's CUDA-event timing measures (its
+cupyimg/time.py:54-148 ``repeat``).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"};
+vs_baseline is the speedup factor over the 1080 Ti's 6.23 ms.
+"""
+
+import functools
+import json
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+import cupyimg_tpu.scipy.ndimage as ndi
+
+BASELINE_MS = 6.23  # reference README.md:135-139 (GTX 1080 Ti)
+
+
+def _timed_ms(fn, x, n):
+    t0 = time.perf_counter()
+    # scalar readback forces real completion through the relay
+    float(fn(x, n)[0, 0, 0])
+    return (time.perf_counter() - t0) * 1e3
+
+
+def main():
+    x = np.random.RandomState(0).randn(256, 256, 256).astype(np.float32)
+    xg = jax.device_put(jnp.asarray(x))
+
+    one = functools.partial(ndi.uniform_filter, size=5, dtype_mode="float")
+
+    @functools.partial(jax.jit, static_argnums=1)
+    def many(v, n):
+        return lax.fori_loop(0, n, lambda i, acc: one(acc), v)
+
+    n1, n2 = 6, 56
+    _timed_ms(many, xg, n1)  # warmup/compile both trip counts
+    _timed_ms(many, xg, n2)
+
+    slopes = []
+    for _ in range(5):
+        t1 = _timed_ms(many, xg, n1)
+        t2 = _timed_ms(many, xg, n2)
+        slopes.append((t2 - t1) / (n2 - n1))
+    med = float(np.median(slopes))
+
+    print(
+        json.dumps(
+            {
+                "metric": "uniform_filter_256c_f32_size5_ms",
+                "value": round(med, 4),
+                "unit": "ms",
+                "vs_baseline": round(BASELINE_MS / med, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

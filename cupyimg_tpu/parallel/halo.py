@@ -1,0 +1,193 @@
+"""Halo exchange and sharded separable filtering over a TPU mesh.
+
+Design (new for TPU; no reference counterpart — SURVEY.md §2.4):
+
+- A volume axis sharded over a mesh axis needs ``lo``/``hi`` halo slabs from
+  its neighbors to evaluate a stencil near shard edges.  Interior halos move
+  over ICI with ``lax.ppermute``; the global array edges use the ndimage
+  boundary mode, computed *locally* (valid whenever halo width <= local
+  shard width, which holds for all practical filter sizes).
+- ``wrap``/``grid-wrap`` close the ppermute ring instead, so periodic
+  boundaries also ride ICI.
+- After exchange, the local stencil runs on the extended slab with the pads
+  already consumed — one fused XLA computation per shard, collectives only
+  at the halos.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import PartitionSpec as P
+from jax import shard_map
+
+from cupyimg_tpu.core import boundary, dtypes, util
+
+
+def _edge_pad(x, lo, hi, axis, mode, cval):
+    """Boundary-extend one axis locally (used at global mesh edges)."""
+    pad_width = [(0, 0)] * x.ndim
+    pad_width[axis] = (lo, hi)
+    return boundary.pad(x, pad_width, mode, cval)
+
+
+def halo_exchange(x, lo: int, hi: int, axis: int, axis_name: str, mode: str,
+                  cval=0.0):
+    """Extend ``x`` along ``axis`` by (lo, hi) halo slabs inside shard_map.
+
+    Interior shards receive neighbor data via ppermute; the first/last shard
+    fill their outward-facing halo with the ndimage boundary mode.
+    Must be called inside a ``shard_map`` with ``axis_name`` bound.
+    """
+    if lo == 0 and hi == 0:
+        return x
+    n_dev = lax.axis_size(axis_name)
+    idx = lax.axis_index(axis_name)
+    nloc = x.shape[axis]
+    if lo > nloc or hi > nloc:
+        raise ValueError(
+            f"halo ({lo},{hi}) exceeds local shard extent {nloc}"
+        )
+    wrap = mode in ("wrap", "grid-wrap")
+
+    parts = []
+    if lo > 0:
+        # slab my left neighbor sends me: its last `lo` elements
+        send_right = lax.slice_in_dim(x, nloc - lo, nloc, axis=axis)
+        perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+        if not wrap:
+            perm = [(i, i + 1) for i in range(n_dev - 1)]
+        from_left = lax.ppermute(send_right, axis_name, perm)
+        if not wrap:
+            # global low edge: boundary-extend locally and take the pad
+            local = lax.slice_in_dim(
+                _edge_pad(x, lo, 0, axis, mode, cval), 0, lo, axis=axis
+            )
+            from_left = jnp.where(
+                idx == 0, local, from_left
+            )
+        parts.append(from_left)
+    parts.append(x)
+    if hi > 0:
+        send_left = lax.slice_in_dim(x, 0, hi, axis=axis)
+        perm = [(i, (i - 1) % n_dev) for i in range(n_dev)]
+        if not wrap:
+            perm = [(i + 1, i) for i in range(n_dev - 1)]
+        from_right = lax.ppermute(send_left, axis_name, perm)
+        if not wrap:
+            ext = _edge_pad(x, 0, hi, axis, mode, cval)
+            local = lax.slice_in_dim(
+                ext, ext.shape[axis] - hi, ext.shape[axis], axis=axis
+            )
+            from_right = jnp.where(idx == n_dev - 1, local, from_right)
+        parts.append(from_right)
+    return jnp.concatenate(parts, axis=axis)
+
+
+def _local_correlate1d_prehalo(xext, weights, axis, nloc, acc_dtype):
+    """1-d correlation on a halo-extended slab (pads already consumed)."""
+    out = None
+    for k in range(weights.shape[0]):
+        w = weights[k]
+        if isinstance(weights, np.ndarray) and w == 0:
+            continue
+        sl = [slice(None)] * xext.ndim
+        sl[axis] = slice(k, k + nloc)
+        term = jnp.asarray(w).astype(acc_dtype) * xext[tuple(sl)].astype(
+            acc_dtype
+        )
+        out = term if out is None else out + term
+    return out
+
+
+def _spec_axis_names(spec, ndim):
+    """Per-array-axis mesh axis name (or None) from a PartitionSpec."""
+    names = list(spec) + [None] * (ndim - len(list(spec)))
+    out = []
+    for nm in names:
+        if isinstance(nm, (tuple, list)):
+            if len(nm) > 1:
+                raise NotImplementedError(
+                    "multiple mesh axes per array axis not supported"
+                )
+            nm = nm[0] if nm else None
+        out.append(nm)
+    return out
+
+
+def sharded_correlate1d(x, weights, axis, mesh, spec, mode="reflect",
+                        cval=0.0, origin=0, acc_dtype=None):
+    """1-d correlation along ``axis`` of an array sharded per ``spec``.
+
+    ``spec`` is a ``PartitionSpec`` matching ``x``'s rank. If ``axis`` is
+    sharded, halos move over ICI; unsharded axes are purely local.
+    """
+    weights = np.asarray(weights)
+    x = jnp.asarray(x)
+    if acc_dtype is None:
+        acc_dtype = dtypes.promote_weights_dtype(x.dtype, weights.dtype,
+                                                 "float")
+    axis = util.check_axis(axis, x.ndim)
+    size = weights.shape[0]
+    lo = size // 2 + origin
+    hi = size - 1 - lo
+    names = _spec_axis_names(spec, x.ndim)
+    axis_name = names[axis]
+
+    def local_fn(xs):
+        if axis_name is None:
+            ext = _edge_pad(xs, lo, hi, axis, mode, cval)
+        else:
+            ext = halo_exchange(xs, lo, hi, axis, axis_name, mode, cval)
+        return _local_correlate1d_prehalo(
+            ext, weights, axis, xs.shape[axis], acc_dtype
+        )
+
+    fn = shard_map(
+        local_fn, mesh=mesh, in_specs=(spec,), out_specs=spec,
+        check_vma=False,
+    )
+    return fn(x)
+
+
+def sharded_separable(x, weights_per_axis, mesh, spec, mode="reflect",
+                      cval=0.0, out_dtype=None):
+    """Chain per-axis 1-d sharded correlations (separable filter)."""
+    x = jnp.asarray(x)
+    out_dtype = np.dtype(out_dtype or x.dtype)
+    y = x
+    for axis, w in enumerate(weights_per_axis):
+        if w is None:
+            continue
+        y = sharded_correlate1d(y, w, axis, mesh, spec, mode, cval)
+        y = y.astype(out_dtype)
+    return y
+
+
+def sharded_uniform_filter(x, size, mesh, spec, mode="reflect", cval=0.0):
+    """uniform_filter for mesh-sharded volumes (ICI halo exchange)."""
+    sizes = util.fix_sequence_arg(size, jnp.ndim(x), "size", int)
+    weights = [
+        np.full(s, 1.0 / s) if s > 1 else None for s in sizes
+    ]
+    return sharded_separable(x, weights, mesh, spec, mode, cval)
+
+
+def sharded_gaussian_filter(x, sigma, mesh, spec, mode="reflect", cval=0.0,
+                            truncate=4.0):
+    """gaussian_filter for mesh-sharded volumes (ICI halo exchange)."""
+    from cupyimg_tpu.scipy.ndimage.filters import _gaussian_kernel1d
+
+    sigmas = util.fix_sequence_arg(sigma, jnp.ndim(x), "sigma", float)
+    weights = []
+    for s in sigmas:
+        if s > 1e-15:
+            lw = int(truncate * s + 0.5)
+            weights.append(_gaussian_kernel1d(s, 0, lw)[::-1])
+        else:
+            weights.append(None)
+    return sharded_separable(x, weights, mesh, spec, mode, cval)
