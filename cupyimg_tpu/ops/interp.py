@@ -1,0 +1,270 @@
+"""Spline interpolation: tap/weight computation and gather engines.
+
+TPU-native replacement for the reference's fused CUDA gather kernels
+(cupyimg/scipy/ndimage/_interp_kernels.py:277-592, SURVEY.md N4).  Two
+engines:
+
+- ``gather_separable``: when the target coordinate along each axis depends
+  only on that axis' output index (zoom/shift/diagonal affine), evaluation
+  factorizes into sequential per-axis 1-d interpolation passes —
+  (order+1) * ndim gathers instead of (order+1)^ndim.  This beats the
+  reference's design point (its kernels always walk the full tap product).
+- ``gather_general``: full per-point coordinates (map_coordinates / dense
+  affine) — accumulates over the (order+1)^ndim tap product, one fused XLA
+  gather per tap combination.
+
+Spline weight formulas are SciPy's ni_splines.c math (public domain
+formulas, also used by the reference's _spline_kernel_weights.py).
+"""
+
+from __future__ import annotations
+
+import itertools
+
+import numpy as np
+import jax.numpy as jnp
+
+from cupyimg_tpu.core import boundary
+from cupyimg_tpu.ops.iir import get_spline_mode
+
+
+def spline_weights(t, order: int):
+    """B-spline weights for fractional offset ``t`` (array), orders 1-5.
+
+    ``t = c - floor(c)`` for odd orders, ``t = c - floor(c + 0.5)`` for even
+    orders; returns a list of ``order + 1`` arrays.
+    """
+    if order == 1:
+        return [1.0 - t, t]
+    if order == 2:
+        w1 = 0.75 - t * t
+        y = 0.5 - t
+        w0 = 0.5 * y * y
+        return [w0, w1, 1.0 - w0 - w1]
+    if order == 3:
+        y = 1.0 - t
+        w1 = (t * t * (t - 2.0) * 3.0 + 4.0) / 6.0
+        w2 = (y * y * (y - 2.0) * 3.0 + 4.0) / 6.0
+        w0 = y * y * y / 6.0
+        return [w0, w1, w2, 1.0 - w0 - w1 - w2]
+    if order == 4:
+        y = t * t
+        w2 = y * (y * 0.25 - 0.625) + 115.0 / 192.0
+        y = 1.0 + t
+        w1 = y * (y * (y * (5.0 - y) / 6.0 - 1.25) + 5.0 / 24.0) + 55.0 / 96.0
+        y = 1.0 - t
+        w3 = y * (y * (y * (5.0 - y) / 6.0 - 1.25) + 5.0 / 24.0) + 55.0 / 96.0
+        y = 0.5 - t
+        y = y * y
+        w0 = y * y / 24.0
+        return [w0, w1, w2, w3, 1.0 - w0 - w1 - w2 - w3]
+    if order == 5:
+        y = t * t
+        w2 = y * (y * (0.25 - t / 12.0) - 0.5) + 0.55
+        y = 1.0 - t
+        yy = y * y
+        w3 = yy * (yy * (0.25 - (1.0 - t) / 12.0) - 0.5) + 0.55
+        y = t + 1.0
+        w1 = (
+            y * (y * (y * (y * (y / 24.0 - 0.375) + 1.25) - 1.75) + 0.625)
+            + 0.425
+        )
+        y = 2.0 - t
+        w4 = (
+            y * (y * (y * (y * (y / 24.0 - 0.375) + 1.25) - 1.75) + 0.625)
+            + 0.425
+        )
+        y = 1.0 - t
+        yy = y * y
+        w0 = (1.0 - t) * yy * yy / 120.0
+        return [w0, w1, w2, w3, w4, 1.0 - w0 - w1 - w2 - w3 - w4]
+    raise ValueError("order must be in 1..5")
+
+
+def wrap_coord(c, n: int):
+    """Remap a float coordinate into [0, n-1] with period n-1 ('wrap' mode:
+    first and last samples are identified; reference _util.py:213-220)."""
+    if n == 1:
+        return jnp.zeros_like(c)
+    period = float(n - 1)
+    neg = c + period * (jnp.trunc(-c / period) + 1.0)
+    pos = c - period * jnp.trunc(c / period)
+    return jnp.where(c < 0, neg, jnp.where(c > period, pos, c))
+
+
+def premap_coord(c, n: int, mode: str):
+    """Float boundary premap of the target coordinate, matching scipy's
+    map_coordinate() C routine: the coordinate folds into (or near) the
+    domain *before* tap selection.  The distinction from mapping integer
+    taps only matters at reflection tie points (e.g. half-integer
+    coordinates under order 0), where orientation reversal flips the
+    round-half-up direction."""
+    if mode in ("constant", "grid-constant"):
+        return c
+    if mode == "wrap":
+        return wrap_coord(c, n)
+    if n == 1:
+        return jnp.zeros_like(c)
+    if mode == "nearest":
+        return jnp.clip(c, 0, n - 1)
+    if mode in ("grid-wrap",):
+        return c - n * jnp.floor(c / n)
+    if mode == "mirror":
+        sz2 = 2.0 * n - 2.0
+        a = jnp.abs(c)
+        a = a - sz2 * jnp.floor(a / sz2)
+        return jnp.where(a >= n, sz2 - a, a)
+    if mode in ("reflect", "grid-mirror"):
+        sz2 = 2.0 * n
+        # negative side: fold up near the domain then reflect about -0.5
+        cn = jnp.where(c < -sz2, sz2 * jnp.trunc(-c / sz2) + c, c)
+        cn = jnp.where(cn < -n, cn + sz2, -cn - 1.0)
+        # positive side: fold down then reflect about n-0.5
+        cp = c - sz2 * jnp.trunc(c / sz2)
+        cp = jnp.where(cp >= n, sz2 - cp - 1.0, cp)
+        return jnp.where(c < 0, cn, jnp.where(c > n - 1, cp, c))
+    raise ValueError(f"unrecognized mode: {mode}")
+
+
+def _map_tap(idx, n: int, mode: str):
+    """Map one integer tap index per ``mode``; returns (safe_idx, oob|None).
+
+    For 'constant' the out-of-domain handling is the caller's outer mask, so
+    taps just clamp; 'grid-constant' marks per-tap oob.
+    """
+    if mode == "grid-constant":
+        oob = (idx < 0) | (idx >= n)
+        return jnp.clip(idx, 0, n - 1), oob
+    if mode == "constant":
+        return jnp.clip(idx, 0, n - 1), None
+    mapped, _ = boundary.map_indices(idx, n, mode)
+    return mapped, None
+
+
+def axis_taps(c, n: int, order: int, mode: str):
+    """Per-axis taps: list of (index array, weight array, oob mask or None).
+
+    Implements the tap/boundary decision table of the reference's
+    _generate_interp_custom (_interp_kernels.py:355-560): 'wrap' remaps the
+    float coordinate first; order >= 2 taps use the spline boundary family.
+    """
+    d = premap_coord(c, n, mode)
+    if order == 0:
+        # scipy rounds half up for the nearest-neighbor tap
+        cf = jnp.floor(d + 0.5).astype(np.int32)
+        idx, oob = _map_tap(cf, n, mode)
+        return [(idx, None, oob)]
+
+    if order == 1:
+        cf = jnp.floor(d)
+        w1 = d - cf
+        w0 = 1.0 - w1
+        cfi = cf.astype(np.int32)
+        i0, oob0 = _map_tap(cfi, n, mode)
+        i1, oob1 = _map_tap(cfi + 1, n, mode)
+        return [(i0, w0, oob0), (i1, w1, oob1)]
+
+    # order >= 2: spline footprint
+    if mode == "grid-constant":
+        tap_mode = "grid-constant"  # per-tap cval
+    elif mode == "nearest":
+        tap_mode = "nearest"
+    elif mode == "constant":
+        tap_mode = get_spline_mode("constant")  # mirror + outer mask
+    else:
+        tap_mode = get_spline_mode(mode)
+    if order % 2:
+        t = d - jnp.floor(d)
+        start = jnp.floor(d).astype(np.int32) - order // 2
+    else:
+        half = jnp.floor(d + 0.5)
+        t = d - half
+        start = half.astype(np.int32) - order // 2
+    weights = spline_weights(t, order)
+    out = []
+    for k in range(order + 1):
+        idx, oob = _map_tap(start + k, n, tap_mode)
+        out.append((idx, weights[k], oob))
+    return out
+
+
+def _outer_constant_mask(coords, shape):
+    """mode='constant': any coordinate outside [0, n-1] -> cval."""
+    mask = None
+    for c, n in zip(coords, shape):
+        m = (c < 0) | (c > n - 1)
+        mask = m if mask is None else mask | m
+    return mask
+
+
+def _apply_cval(vals, oob, cval):
+    if oob is None:
+        return vals
+    return jnp.where(oob, jnp.asarray(cval, dtype=vals.dtype), vals)
+
+
+def gather_general(x, coords, order: int, mode: str, cval):
+    """Interpolate ``x`` at dense coordinates (list of ndim arrays, each of
+    the output shape).  Returns the accumulated float/complex output."""
+    ndim = x.ndim
+    taps = [axis_taps(coords[j], x.shape[j], order, mode) for j in range(ndim)]
+    out = None
+    for combo in itertools.product(*taps):
+        idxs = tuple(t[0] for t in combo)
+        vals = x[idxs]
+        w = None
+        oob = None
+        for t in combo:
+            if t[1] is not None:
+                w = t[1] if w is None else w * t[1]
+            if t[2] is not None:
+                oob = t[2] if oob is None else oob | t[2]
+        vals = _apply_cval(vals, oob, cval)
+        term = vals if w is None else vals * w.astype(vals.real.dtype)
+        out = term if out is None else out + term
+    if mode == "constant":
+        mask = _outer_constant_mask(coords, x.shape)
+        out = jnp.where(mask, jnp.asarray(cval, dtype=out.dtype), out)
+    return out
+
+
+def gather_separable(x, coords_1d, order: int, mode: str, cval):
+    """Interpolate with per-axis 1-d coordinates (zoom/shift/diagonal
+    affine): sequential per-axis passes, (order+1)*ndim gathers total.
+
+    cval substitution per axis is correct because it is absorbing: once a
+    tap reads cval it stays cval through later axes (grid-constant), and the
+    'constant' outer mask is applied pointwise at the end.
+    """
+    ndim = x.ndim
+    y = x
+    for axis in range(ndim):
+        c = coords_1d[axis]
+        taps = axis_taps(c, x.shape[axis], order, mode)
+        acc = None
+        for idx, w, oob in taps:
+            vals = jnp.take(y, idx, axis=axis)
+            if oob is not None:
+                shape = [1] * y.ndim
+                shape[axis] = oob.shape[0]
+                vals = jnp.where(
+                    oob.reshape(shape), jnp.asarray(cval, dtype=vals.dtype),
+                    vals,
+                )
+            if w is not None:
+                shape = [1] * y.ndim
+                shape[axis] = w.shape[0]
+                vals = vals * w.reshape(shape).astype(vals.real.dtype)
+            acc = vals if acc is None else acc + vals
+        y = acc
+    if mode == "constant":
+        mask = None
+        for axis in range(ndim):
+            c = coords_1d[axis]
+            m = (c < 0) | (c > x.shape[axis] - 1)
+            shape = [1] * ndim
+            shape[axis] = m.shape[0]
+            m = m.reshape(shape)
+            mask = m if mask is None else mask | m
+        y = jnp.where(mask, jnp.asarray(cval, dtype=y.dtype), y)
+    return y

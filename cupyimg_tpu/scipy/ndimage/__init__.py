@@ -27,6 +27,15 @@ from cupyimg_tpu.scipy.ndimage.filters import (  # noqa: F401
     median_filter,
     percentile_filter,
 )
+from cupyimg_tpu.scipy.ndimage.interpolation import (  # noqa: F401
+    spline_filter1d,
+    spline_filter,
+    map_coordinates,
+    affine_transform,
+    shift,
+    zoom,
+    rotate,
+)
 from cupyimg_tpu.scipy.ndimage.morphology import (  # noqa: F401
     generate_binary_structure,
     iterate_structure,
