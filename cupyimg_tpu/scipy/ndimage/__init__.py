@@ -36,6 +36,30 @@ from cupyimg_tpu.scipy.ndimage.interpolation import (  # noqa: F401
     zoom,
     rotate,
 )
+from cupyimg_tpu.scipy.ndimage.fourier import (  # noqa: F401
+    fourier_gaussian,
+    fourier_uniform,
+    fourier_shift,
+    fourier_ellipsoid,
+)
+from cupyimg_tpu.scipy.ndimage import measurements  # noqa: F401
+from cupyimg_tpu.scipy.ndimage.measurements import (  # noqa: F401
+    label,
+    sum_labels,
+    mean,
+    variance,
+    standard_deviation,
+    minimum,
+    maximum,
+    median,
+    minimum_position,
+    maximum_position,
+    extrema,
+    center_of_mass,
+    histogram,
+    labeled_comprehension,
+)
+from cupyimg_tpu.scipy.ndimage.measurements import sum  # noqa: F401,A004
 from cupyimg_tpu.scipy.ndimage.morphology import (  # noqa: F401
     generate_binary_structure,
     iterate_structure,

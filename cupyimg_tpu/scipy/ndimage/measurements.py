@@ -1,0 +1,508 @@
+"""scipy.ndimage measurements on TPU-native JAX engines.
+
+API parity with reference cupyimg/scipy/ndimage/measurements.py
+(SURVEY.md C12): ``label`` and the labeled reductions (sum/mean/variance/
+std/min/max/positions/median/extrema/center_of_mass/histogram/
+labeled_comprehension).
+
+TPU-first redesign (SURVEY.md N6/N7): the reference's label is a 5-kernel
+atomicCAS union-find (measurements.py:143-277); Pallas-TPU has no atomics,
+so label here is a *deterministic* fixpoint algorithm: min-label propagation
+over the structure's neighbor offsets fused with pointer doubling
+(``lab <- min(lab, lab[lab])``), iterated under ``lax.while_loop`` until
+convergence — O(log diameter) iterations.  Final labels are assigned by a
+cumsum over component roots, which reproduces scipy's raster-scan
+first-occurrence numbering exactly with no sort and no host sync inside the
+loop.  Labeled reductions map onto XLA segment ops
+(``jax.ops.segment_sum`` et al.) instead of per-label atomicAdd kernels.
+
+Like the reference (its "This function may synchronize the device" notes),
+the reduction APIs synchronize once to learn the number of labels; ``label``
+itself is fully jit-compatible and returns the count as a device scalar.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from cupyimg_tpu.scipy.ndimage.morphology import generate_binary_structure
+
+__all__ = [
+    "label",
+    "sum",
+    "sum_labels",
+    "mean",
+    "variance",
+    "standard_deviation",
+    "minimum",
+    "maximum",
+    "median",
+    "minimum_position",
+    "maximum_position",
+    "extrema",
+    "center_of_mass",
+    "histogram",
+    "labeled_comprehension",
+]
+
+
+def _structure_offsets(structure, ndim):
+    """Nonzero structure offsets relative to the center (excluding center)."""
+    if structure is None:
+        structure = generate_binary_structure(ndim, 1)
+    structure = np.asarray(structure)
+    if structure.ndim != ndim:
+        raise RuntimeError("structure and input must have equal rank")
+    for s in structure.shape:
+        if s != 3:
+            raise ValueError("structure dimensions must be equal to 3")
+    offs = []
+    center = (1,) * ndim
+    for idx in np.argwhere(structure != 0):
+        off = tuple(int(i) - 1 for i in idx)
+        if off != (0,) * ndim:
+            offs.append(off)
+    return offs
+
+
+def _shift_with_fill(a, off, fill):
+    """Shift array by ``off`` (neighbor at position i+off lands at i),
+    filling vacated cells with ``fill``."""
+    out = a
+    for axis, o in enumerate(off):
+        if o == 0:
+            continue
+        pad = [(0, 0)] * a.ndim
+        n = a.shape[axis]
+        if o > 0:
+            pad[axis] = (0, o)
+            out = jnp.pad(out, pad, constant_values=fill)
+            out = lax.slice_in_dim(out, o, o + n, axis=axis)
+        else:
+            pad[axis] = (-o, 0)
+            out = jnp.pad(out, pad, constant_values=fill)
+            out = lax.slice_in_dim(out, 0, n, axis=axis)
+    return out
+
+
+def label(input, structure=None, output=None, *, greyscale_mode=False):
+    """Label connected components (scipy parity; reference
+    measurements.py:29-141).
+
+    Returns ``(labels, num_features)`` with ``num_features`` a device
+    scalar (int32) — call ``int()`` on it outside jit for the Python int.
+    ``greyscale_mode=True`` connects neighbors only where the input values
+    are equal (the reference's extension backing skimage.measure.label).
+    """
+    x = jnp.asarray(input)
+    ndim = x.ndim
+    if ndim < 1:
+        raise ValueError("input must have at least 1 dimension")
+    offsets = _structure_offsets(structure, ndim)
+    fg = x != 0
+    n = x.size
+    SENT = np.int32(n)
+
+    flat_idx = jnp.arange(n, dtype=np.int32).reshape(x.shape)
+    lab0 = jnp.where(fg, flat_idx, SENT)
+
+    # per-offset static connectivity masks (fg and, in greyscale mode,
+    # equal-valued neighbors)
+    valid_masks = []
+    for off in offsets:
+        nb_fg = _shift_with_fill(fg, off, False)
+        valid = fg & nb_fg
+        if greyscale_mode:
+            nb_val = _shift_with_fill(x, off, jnp.asarray(0, x.dtype))
+            valid = valid & (x == nb_val)
+        valid_masks.append(valid)
+
+    def propagate(lab):
+        new = lab
+        for off, valid in zip(offsets, valid_masks):
+            nb = _shift_with_fill(lab, off, SENT)
+            new = jnp.minimum(new, jnp.where(valid, nb, SENT))
+        return new
+
+    def compress(lab):
+        # pointer doubling: follow the parent link twice
+        flat = lab.ravel()
+        safe = jnp.minimum(flat, np.int32(n - 1))
+        hop = jnp.where(flat == SENT, SENT, flat[safe])
+        hop2_safe = jnp.minimum(hop, np.int32(n - 1))
+        hop2 = jnp.where(hop == SENT, SENT, flat[hop2_safe])
+        return jnp.minimum(flat, hop2).reshape(lab.shape)
+
+    def cond(carry):
+        _, changed = carry
+        return changed
+
+    def body(carry):
+        lab, _ = carry
+        new = compress(propagate(lab))
+        return new, jnp.any(new != lab)
+
+    lab1 = compress(propagate(lab0))
+    lab, _ = lax.while_loop(cond, body, (lab1, jnp.any(lab1 != lab0)))
+
+    # relabel roots to 1..N in raster order of first pixel (root = min flat
+    # index of the component, so ascending roots == scipy's numbering)
+    flat = lab.ravel()
+    is_root = (flat == jnp.arange(n, dtype=np.int32)) & fg.ravel()
+    rank = jnp.cumsum(is_root.astype(np.int32))
+    safe = jnp.minimum(flat, np.int32(n - 1))
+    new_flat = jnp.where(flat == SENT, 0, rank[safe])
+    num = rank[n - 1] if n > 0 else jnp.asarray(0, np.int32)
+    out_dtype = np.int32 if output is None else output
+    return new_flat.reshape(x.shape).astype(out_dtype), num
+
+
+# ---------------------------------------------------------------------------
+# labeled reductions (segment ops; SURVEY.md N7)
+# ---------------------------------------------------------------------------
+
+
+def _norm_labels_index(input, labels, index):
+    """Normalize (labels, index); returns (x, labels, index_array, scalar)."""
+    x = jnp.asarray(input)
+    if labels is None:
+        return x, None, None, False
+    labels = jnp.asarray(labels)
+    if labels.shape != x.shape:
+        # scipy broadcasts labels against input
+        labels = jnp.broadcast_to(labels, x.shape)
+    scalar = False
+    if index is None:
+        return x, labels, None, False
+    if np.isscalar(index) or (
+        hasattr(index, "ndim") and getattr(index, "ndim") == 0
+    ):
+        scalar = True
+        index = [int(index)]
+    index = np.asarray(index, dtype=np.int64)
+    return x, labels, index, scalar
+
+
+def _num_segments(labels):
+    """Host sync to learn label count (the reference documents the same
+    sync, measurements.py:48-50)."""
+    return int(jnp.max(labels)) + 1 if labels.size else 1
+
+
+def _segment_sum_by(values, labels, num_seg):
+    return jax.ops.segment_sum(
+        values.ravel(), labels.ravel().astype(np.int32), num_segments=num_seg
+    )
+
+
+def _select_index(per_label, index, labels_given, x_sum_all):
+    """Assemble the scipy-style return: scalar, array over index, or the
+    global reduction when index is None."""
+    if index is None:
+        return x_sum_all
+    vals = per_label[jnp.asarray(index)]
+    return vals
+
+
+def sum(input, labels=None, index=None):
+    """Sum of values per label (scipy parity)."""
+    x, labels, index, scalar = _norm_labels_index(input, labels, index)
+    if labels is None:
+        return jnp.sum(x)
+    num_seg = _num_segments(labels)
+    sums = _segment_sum_by(x.astype(np.promote_types(x.dtype, np.float64)),
+                           labels, num_seg)
+    if index is None:
+        return jnp.sum(jnp.where(jnp.arange(num_seg) > 0, sums, 0.0))
+    out = sums[jnp.asarray(np.clip(index, 0, num_seg - 1))]
+    out = jnp.where(jnp.asarray(index) < num_seg, out, 0.0)
+    return out[0] if scalar else out
+
+
+sum_labels = sum
+
+
+def _count_and_sum(x, labels, num_seg):
+    xf = x.astype(np.promote_types(x.dtype, np.float64))
+    sums = _segment_sum_by(xf, labels, num_seg)
+    counts = _segment_sum_by(jnp.ones_like(xf), labels, num_seg)
+    return counts, sums
+
+
+def mean(input, labels=None, index=None):
+    """Mean of values per label (scipy parity)."""
+    x, labels, index, scalar = _norm_labels_index(input, labels, index)
+    if labels is None:
+        return jnp.mean(x)
+    num_seg = _num_segments(labels)
+    counts, sums = _count_and_sum(x, labels, num_seg)
+    means = sums / jnp.maximum(counts, 1)
+    if index is None:
+        mask = jnp.arange(num_seg) > 0
+        tot = jnp.sum(jnp.where(mask, sums, 0.0))
+        cnt = jnp.sum(jnp.where(mask, counts, 0.0))
+        return tot / jnp.maximum(cnt, 1)
+    out = means[jnp.asarray(np.clip(index, 0, num_seg - 1))]
+    out = jnp.where(jnp.asarray(index) < num_seg, out, 0.0)
+    return out[0] if scalar else out
+
+
+def variance(input, labels=None, index=None):
+    """Variance of values per label (scipy parity)."""
+    x, labels, index, scalar = _norm_labels_index(input, labels, index)
+    if labels is None:
+        return jnp.var(x)
+    num_seg = _num_segments(labels)
+    xf = x.astype(np.promote_types(x.dtype, np.float64))
+    counts = _segment_sum_by(jnp.ones_like(xf.real), labels, num_seg)
+    sums = _segment_sum_by(xf, labels, num_seg)
+    means = sums / jnp.maximum(counts, 1)
+    dev = xf - means[labels.astype(np.int32)]
+    if np.dtype(xf.dtype).kind == "c":
+        sq = (dev * jnp.conj(dev)).real
+    else:
+        sq = dev * dev
+    var_sums = _segment_sum_by(sq, labels, num_seg)
+    vars_ = var_sums / jnp.maximum(counts, 1)
+    if index is None:
+        mask = (jnp.arange(num_seg) > 0) & (counts > 0)
+        m_all = jnp.sum(jnp.where(mask, sums, 0.0)) / jnp.maximum(
+            jnp.sum(jnp.where(mask, counts, 0.0)), 1
+        )
+        dev_all = jnp.where(labels.ravel() > 0, (xf.ravel() - m_all), 0.0)
+        if np.dtype(xf.dtype).kind == "c":
+            sq_all = (dev_all * jnp.conj(dev_all)).real
+        else:
+            sq_all = dev_all * dev_all
+        return jnp.sum(sq_all) / jnp.maximum(
+            jnp.sum(jnp.where(labels.ravel() > 0, 1.0, 0.0)), 1
+        )
+    out = vars_[jnp.asarray(np.clip(index, 0, num_seg - 1))]
+    out = jnp.where(jnp.asarray(index) < num_seg, out, 0.0)
+    return out[0] if scalar else out
+
+
+def standard_deviation(input, labels=None, index=None):
+    """Standard deviation per label (scipy parity)."""
+    return jnp.sqrt(variance(input, labels, index))
+
+
+def _segment_minmax(x, labels, num_seg, is_min):
+    xf = x.ravel()
+    seg = labels.ravel().astype(np.int32)
+    if is_min:
+        return jax.ops.segment_min(xf, seg, num_segments=num_seg)
+    return jax.ops.segment_max(xf, seg, num_segments=num_seg)
+
+
+def minimum(input, labels=None, index=None):
+    """Minimum per label (scipy parity)."""
+    return _min_or_max(input, labels, index, True)
+
+
+def maximum(input, labels=None, index=None):
+    """Maximum per label (scipy parity)."""
+    return _min_or_max(input, labels, index, False)
+
+
+def _min_or_max(input, labels, index, is_min):
+    x, labels, index, scalar = _norm_labels_index(input, labels, index)
+    if labels is None:
+        return jnp.min(x) if is_min else jnp.max(x)
+    num_seg = _num_segments(labels)
+    per = _segment_minmax(x, labels, num_seg, is_min)
+    if index is None:
+        masked = jnp.where(
+            labels.ravel() > 0,
+            x.ravel(),
+            jnp.inf if is_min else -jnp.inf,
+        )
+        return jnp.min(masked) if is_min else jnp.max(masked)
+    out = per[jnp.asarray(np.clip(index, 0, num_seg - 1))]
+    return out[0] if scalar else out
+
+
+def _position_of(input, labels, index, is_min):
+    x, labels, index, scalar = _norm_labels_index(input, labels, index)
+    if labels is None:
+        labels = jnp.ones(x.shape, np.int32)
+        if index is None:
+            flat = jnp.argmin(x) if is_min else jnp.argmax(x)
+            return tuple(
+                int(v) for v in np.unravel_index(int(flat), x.shape)
+            )
+    num_seg = _num_segments(labels)
+    per = _segment_minmax(x, labels, num_seg, is_min)
+    target = per[labels.ravel().astype(np.int32)]
+    hit = x.ravel() == target
+    n = x.size
+    pos = jnp.where(hit, jnp.arange(n), n)
+    first = jax.ops.segment_min(
+        pos, labels.ravel().astype(np.int32), num_segments=num_seg
+    )
+    if index is None:
+        masked = jnp.where(
+            (labels.ravel() > 0) & hit, jnp.arange(n), n
+        )
+        flat = jnp.min(masked)
+        return tuple(int(v) for v in np.unravel_index(int(flat), x.shape))
+    flats = first[jnp.asarray(np.clip(index, 0, num_seg - 1))]
+    out = [
+        tuple(int(v) for v in np.unravel_index(int(f), x.shape))
+        for f in np.asarray(flats)
+    ]
+    return out[0] if scalar else out
+
+
+def minimum_position(input, labels=None, index=None):
+    """Position of the per-label minimum (scipy parity; host sync)."""
+    return _position_of(input, labels, index, True)
+
+
+def maximum_position(input, labels=None, index=None):
+    """Position of the per-label maximum (scipy parity; host sync)."""
+    return _position_of(input, labels, index, False)
+
+
+def extrema(input, labels=None, index=None):
+    """(min, max, min_position, max_position) per label (scipy parity)."""
+    return (
+        minimum(input, labels, index),
+        maximum(input, labels, index),
+        minimum_position(input, labels, index),
+        maximum_position(input, labels, index),
+    )
+
+
+def median(input, labels=None, index=None):
+    """Median per label via sort + segment boundaries (scipy parity;
+    replaces the reference's CUB lexsort path, measurements.py:719-902)."""
+    x, labels, index, scalar = _norm_labels_index(input, labels, index)
+    if labels is None:
+        return jnp.median(x)
+    num_seg = _num_segments(labels)
+    seg = labels.ravel().astype(np.int64)
+    xf = x.ravel().astype(np.promote_types(x.dtype, np.float64))
+    # sort by (label, value) via a single key: label * large + rank-of-value
+    order = jnp.lexsort((xf, seg))
+    seg_sorted = seg[order]
+    val_sorted = xf[order]
+    counts = jnp.bincount(seg.astype(np.int32), length=num_seg)
+    starts = jnp.concatenate(
+        [jnp.zeros(1, counts.dtype), jnp.cumsum(counts)[:-1]]
+    )
+    lo_idx = starts + jnp.maximum((counts - 1) // 2, 0)
+    hi_idx = starts + jnp.maximum(counts // 2, 0)
+    lo = val_sorted[jnp.clip(lo_idx, 0, x.size - 1)]
+    hi = val_sorted[jnp.clip(hi_idx, 0, x.size - 1)]
+    med = 0.5 * (lo + hi)
+    if index is None:
+        mask = seg > 0
+        vals = jnp.where(mask, xf, jnp.nan)
+        return jnp.nanmedian(vals)
+    out = med[jnp.asarray(np.clip(index, 0, num_seg - 1))]
+    out = jnp.where(jnp.asarray(index) < num_seg, out, 0.0)
+    return out[0] if scalar else out
+
+
+def center_of_mass(input, labels=None, index=None):
+    """Center of mass per label (scipy parity)."""
+    x, labels, index, scalar = _norm_labels_index(input, labels, index)
+    xf = x.astype(np.promote_types(x.dtype, np.float64))
+    grids = jnp.meshgrid(
+        *[jnp.arange(s, dtype=np.float64) for s in x.shape], indexing="ij"
+    )
+    if labels is None:
+        total = jnp.sum(xf)
+        return tuple(float(jnp.sum(xf * g) / total) for g in grids)
+    num_seg = _num_segments(labels)
+    wsum = _segment_sum_by(xf, labels, num_seg)
+    coords = [
+        _segment_sum_by(xf * g, labels, num_seg) / wsum for g in grids
+    ]
+    if index is None:
+        mask = labels.ravel() > 0
+        tot = jnp.sum(jnp.where(mask, xf.ravel(), 0.0))
+        return tuple(
+            float(jnp.sum(jnp.where(mask, (xf * g).ravel(), 0.0)) / tot)
+            for g in grids
+        )
+    idx = jnp.asarray(np.clip(index, 0, num_seg - 1))
+    cols = [np.asarray(c[idx]) for c in coords]
+    out = [tuple(float(c[i]) for c in cols) for i in range(len(index))]
+    return out[0] if scalar else out
+
+
+def histogram(input, min, max, bins, labels=None, index=None):
+    """Histogram of values (optionally per label) (scipy parity)."""
+    x, labels, index, scalar = _norm_labels_index(input, labels, index)
+    bins = int(bins)
+    edges = np.linspace(float(min), float(max), bins + 1)
+    xf = x.ravel()
+    bin_idx = jnp.searchsorted(jnp.asarray(edges), xf, side="right") - 1
+    bin_idx = jnp.where(xf == edges[-1], bins - 1, bin_idx)
+    in_range = (bin_idx >= 0) & (bin_idx < bins)
+    if labels is None:
+        counts = jnp.bincount(
+            jnp.where(in_range, bin_idx, 0).astype(np.int32),
+            weights=in_range.astype(np.float64),
+            length=bins,
+        )
+        return counts.astype(np.int64)
+    num_seg = _num_segments(labels)
+    seg = labels.ravel().astype(np.int64)
+    key = seg * bins + jnp.where(in_range, bin_idx, 0)
+    counts = jnp.bincount(
+        key.astype(np.int64),
+        weights=in_range.astype(np.float64),
+        length=num_seg * bins,
+    ).reshape(num_seg, bins).astype(np.int64)
+    if index is None:
+        mask = (jnp.arange(num_seg) > 0)[:, None]
+        return jnp.sum(jnp.where(mask, counts, 0), axis=0)
+    sel = counts[jnp.asarray(np.clip(index, 0, num_seg - 1))]
+    if scalar:
+        return sel[0]
+    return [sel[i] for i in range(sel.shape[0])]
+
+
+def labeled_comprehension(
+    input, labels, index, func, out_dtype, default, pass_positions=False
+):
+    """Apply ``func`` to the values (and optionally positions) of each
+    labeled region (scipy parity; host loop over regions like the
+    reference, measurements.py:1245+)."""
+    x = jnp.asarray(input)
+    if labels is None:
+        if pass_positions:
+            return func(x.ravel(), jnp.arange(x.size))
+        return func(x.ravel())
+    labels_np = np.asarray(labels)
+    x_np = np.asarray(x)
+    scalar = np.isscalar(index) or (
+        hasattr(index, "ndim") and getattr(index, "ndim") == 0
+    )
+    if index is None:
+        mask = labels_np > 0
+        vals = x_np[mask]
+        if pass_positions:
+            pos = np.flatnonzero(mask)
+            return func(vals, pos)
+        return func(vals)
+    idx_list = [int(index)] if scalar else [int(i) for i in np.asarray(index)]
+    out = np.empty(len(idx_list), dtype=out_dtype)
+    flat_labels = labels_np.ravel()
+    flat_x = x_np.ravel()
+    for k, i in enumerate(idx_list):
+        mask = flat_labels == i
+        if not mask.any():
+            out[k] = default
+            continue
+        if pass_positions:
+            out[k] = func(flat_x[mask], np.flatnonzero(mask))
+        else:
+            out[k] = func(flat_x[mask])
+    return out[0] if scalar else out
