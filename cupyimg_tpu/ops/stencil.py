@@ -126,6 +126,7 @@ def correlate_conv(x, weights, mode: str, cval, origins, acc_dtype):
         padding="VALID",
         dimension_numbers=dn,
         preferred_element_type=acc_dtype,
+        precision=lax.Precision.HIGHEST,
     )
     return out[0, 0]
 

@@ -1,0 +1,229 @@
+"""Polyphase upsample-FIR-downsample (upfirdn).
+
+TPU-native replacement for the reference's external ``fast_upfirdn`` CUDA
+extension (reference cupyimg/scipy/signal/_upfirdn.py:145, SURVEY.md N11):
+the whole up->filter->down cascade is ONE ``lax.conv_general_dilated`` call
+— ``lhs_dilation=up`` performs the zero insertion, ``window_strides=down``
+the decimation — which XLA lowers to the polyphase form natively (it never
+materializes the zero-stuffed signal).  The 9 signal-extension modes are
+explicit pre-extensions with an alignment shift so the decimation grid
+matches scipy's.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import jax.numpy as jnp
+from jax import lax
+
+from cupyimg_tpu.core import util
+
+__all__ = ["upfirdn", "upfirdn_out_len", "upfirdn_modes"]
+
+upfirdn_modes = [
+    "constant",
+    "wrap",
+    "edge",
+    "smooth",
+    "symmetric",
+    "reflect",
+    "antisymmetric",
+    "antireflect",
+    "line",
+]
+
+
+def upfirdn_out_len(len_h: int, in_len: int, up: int, down: int) -> int:
+    """Output length of upfirdn (scipy's _output_len)."""
+    return (((in_len - 1) * up + len_h) - 1) // down + 1
+
+
+def _pad_1d_mode(x, npre: int, npost: int, axis: int, mode: str, cval):
+    """Extend x along ``axis`` with one of the 9 upfirdn modes."""
+    if npre == 0 and npost == 0:
+        return x
+    n = x.shape[axis]
+
+    def take(idx):
+        return jnp.take(x, jnp.asarray(idx), axis=axis)
+
+    def edge_val(i):
+        sl = [slice(None)] * x.ndim
+        sl[axis] = slice(i, i + 1)
+        return x[tuple(sl)]
+
+    pre_idx = np.arange(-npre, 0)
+    post_idx = np.arange(n, n + npost)
+
+    if mode == "constant":
+        pads = [(0, 0)] * x.ndim
+        pads[axis] = (npre, npost)
+        return jnp.pad(x, pads, constant_values=cval)
+    if mode == "edge":
+        pre = take(np.zeros(npre, int)) if npre else None
+        post = take(np.full(npost, n - 1)) if npost else None
+    elif mode == "wrap":
+        pre = take(pre_idx % n) if npre else None
+        post = take(post_idx % n) if npost else None
+    elif mode == "symmetric":
+        pre = take(_sym_idx(pre_idx, n)) if npre else None
+        post = take(_sym_idx(post_idx, n)) if npost else None
+    elif mode == "reflect":
+        pre = take(_refl_idx(pre_idx, n)) if npre else None
+        post = take(_refl_idx(post_idx, n)) if npost else None
+    elif mode == "antisymmetric":
+        pre = -take(_sym_idx(pre_idx, n)) if npre else None
+        post = -take(_sym_idx(post_idx, n)) if npost else None
+    elif mode == "antireflect":
+        # odd reflection about the edge value: 2*x[edge] - x[refl]
+        pre = 2 * edge_val(0) - take(_refl_idx(pre_idx, n)) if npre else None
+        post = (
+            2 * edge_val(n - 1) - take(_refl_idx(post_idx, n))
+            if npost
+            else None
+        )
+    elif mode == "smooth":
+        # continue the local slope of the outermost two samples
+        if n < 2:
+            raise ValueError("smooth mode requires at least 2 samples")
+        slope0 = edge_val(1) - edge_val(0)
+        slope1 = edge_val(n - 1) - edge_val(n - 2)
+        karr = _k_broadcast(np.arange(npre, 0, -1), x.ndim, axis)
+        pre = edge_val(0) - karr * slope0 if npre else None
+        karr2 = _k_broadcast(np.arange(1, npost + 1), x.ndim, axis)
+        post = edge_val(n - 1) + karr2 * slope1 if npost else None
+    elif mode == "line":
+        if n < 2:
+            raise ValueError("line mode requires at least 2 samples")
+        slope = (edge_val(n - 1) - edge_val(0)) / max(n - 1, 1)
+        karr = _k_broadcast(np.arange(npre, 0, -1), x.ndim, axis)
+        pre = edge_val(0) - karr * slope if npre else None
+        karr2 = _k_broadcast(np.arange(1, npost + 1), x.ndim, axis)
+        post = edge_val(n - 1) + karr2 * slope if npost else None
+    else:
+        raise ValueError(f"unknown upfirdn mode: {mode}")
+
+    parts = [p for p in (pre, x, post) if p is not None]
+    return jnp.concatenate(parts, axis=axis)
+
+
+def _sym_idx(idx, n):
+    period = 2 * n
+    im = idx % period
+    return np.where(im < n, im, period - 1 - im)
+
+
+def _refl_idx(idx, n):
+    if n == 1:
+        return np.zeros_like(idx)
+    period = 2 * n - 2
+    im = idx % period
+    return np.where(im < n, im, period - im)
+
+
+def _k_broadcast(k, ndim, axis):
+    shape = [1] * ndim
+    shape[axis] = len(k)
+    return jnp.asarray(k, dtype=np.float64).reshape(shape)
+
+
+def _upfirdn_zero(h, x, up: int, down: int, out_len: int):
+    """Core zero-extension upfirdn along the LAST axis via dilated conv."""
+    len_h = h.shape[0]
+    n = x.shape[-1]
+    n_up = (n - 1) * up + 1
+    pl = len_h - 1
+    ph = (out_len - 1) * down + len_h - n_up - pl
+    ph = max(ph, 0)
+    batch_shape = x.shape[:-1]
+    lhs = x.reshape((-1, 1, n))
+    rhs = h[::-1][None, None, :]
+    out = lax.conv_general_dilated(
+        lhs,
+        rhs,
+        window_strides=(down,),
+        padding=[(pl, ph)],
+        lhs_dilation=(up,),
+        dimension_numbers=("NCW", "OIW", "NCW"),
+        precision=lax.Precision.HIGHEST,
+    )
+    out = out[:, 0, :out_len]
+    return out.reshape(batch_shape + (out_len,))
+
+
+def upfirdn(
+    h,
+    x,
+    up=1,
+    down=1,
+    axis=-1,
+    mode="constant",
+    cval=0,
+    *,
+    prepadded=False,
+    out=None,
+    offset=0,
+    crop=False,
+    take=None,
+):
+    """Upsample by ``up``, FIR filter with ``h``, downsample by ``down``
+    (scipy.signal.upfirdn parity + the reference's 9 extension modes).
+
+    ``prepadded``/``out``/``offset``/``crop``/``take`` extras of the
+    reference's fast_upfirdn backend: ``crop=True`` trims the leading
+    filter transient (output starts at input sample 0) and ``take`` limits
+    the output length; ``prepadded``/``out`` are not applicable in a
+    functional framework and must be left at their defaults.
+    """
+    if prepadded or out is not None:
+        raise NotImplementedError(
+            "prepadded/out are not supported (functional framework)"
+        )
+    if mode == "zero":
+        mode = "constant"
+        cval = 0
+    h = jnp.asarray(h)
+    x = jnp.asarray(x)
+    if h.ndim != 1 or h.shape[0] == 0:
+        raise ValueError("h must be 1-D with non-zero length")
+    up, down = int(up), int(down)
+    if up < 1 or down < 1:
+        raise ValueError("Both up and down must be >= 1")
+    axis = util.check_axis(axis, x.ndim)
+
+    dtype = np.promote_types(
+        np.promote_types(h.dtype, x.dtype), np.float32
+    )
+    h = h.astype(dtype)
+    x = x.astype(dtype)
+
+    xm = jnp.moveaxis(x, axis, -1)
+    n_in = xm.shape[-1]
+    len_h = h.shape[0]
+    out_len = upfirdn_out_len(len_h, n_in, up, down)
+
+    if mode == "constant" and complex(cval) == 0:
+        y = _upfirdn_zero(h, xm, up, down, out_len)
+    else:
+        # pre-extend so taps never read outside, with the left extension a
+        # multiple of down/gcd(up,down) so the decimation grid realigns
+        reach = -(-(len_h - 1) // up) + 1
+        step = down // math.gcd(up, down)
+        npre = -(-reach // step) * step
+        xe = _pad_1d_mode(xm, npre, reach, -1, mode, cval)
+        poff = npre * up // down
+        ext_out_len = upfirdn_out_len(len_h, xe.shape[-1], up, down)
+        ye = _upfirdn_zero(h, xe, up, down, ext_out_len)
+        y = lax.slice_in_dim(ye, poff, poff + out_len, axis=-1)
+
+    if offset:
+        y = lax.slice_in_dim(y, int(offset), y.shape[-1], axis=-1)
+    if crop:
+        # crop=True: trim to the input extent (ceil(n_in * up / down))
+        n_keep = -(-n_in * up // down)
+        y = lax.slice_in_dim(y, 0, min(n_keep, y.shape[-1]), axis=-1)
+    if take is not None:
+        y = lax.slice_in_dim(y, 0, int(take), axis=-1)
+    return jnp.moveaxis(y, -1, axis)
