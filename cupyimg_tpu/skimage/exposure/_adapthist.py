@@ -1,0 +1,153 @@
+"""Contrast Limited Adaptive Histogram Equalization (CLAHE).
+
+skimage.exposure.equalize_adapthist parity (reference
+cupyimg/skimage/exposure/_adapthist.py, SURVEY.md S3): pad -> bin ->
+per-tile histograms -> clip/redistribute -> per-tile mapping LUTs ->
+multilinear blend between neighboring tiles.  Fully vectorized on jnp
+(tile histograms via vmap'd bincount; the reference loops clipping on the
+host).  Deviation: excess redistribution runs a fixed number of fractional
+passes instead of skimage's data-dependent integer loop — the mapping
+differs by at most one gray level per bin.
+"""
+
+from __future__ import annotations
+
+import itertools
+import math
+import numbers
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from cupyimg_tpu.skimage.exposure.exposure import rescale_intensity
+from cupyimg_tpu.skimage.util.dtype import img_as_float, img_as_uint
+
+NR_OF_GRAY = 2 ** 14
+
+__all__ = ["equalize_adapthist"]
+
+
+def equalize_adapthist(image, kernel_size=None, clip_limit=0.01, nbins=256):
+    """CLAHE (skimage parity; color images equalize the HSV value
+    channel)."""
+    image = jnp.asarray(image)
+    if image.ndim == 3 and image.shape[-1] in (3, 4):
+        from cupyimg_tpu.skimage.color.colorconv import (
+            hsv2rgb,
+            rgb2hsv,
+            rgba2rgb,
+        )
+
+        if image.shape[-1] == 4:
+            image = rgba2rgb(image)
+        hsv = rgb2hsv(image)
+        v_eq = equalize_adapthist(hsv[..., 2], kernel_size, clip_limit, nbins)
+        hsv = hsv.at[..., 2].set(v_eq)
+        return hsv2rgb(hsv)
+
+    image = img_as_uint(image)
+    image = jnp.around(
+        rescale_intensity(
+            image.astype(np.float64), out_range=(0, NR_OF_GRAY - 1)
+        )
+    ).astype(np.int32)
+
+    if kernel_size is None:
+        kernel_size = tuple(image.shape[dim] // 8 for dim in range(image.ndim))
+    elif isinstance(kernel_size, numbers.Number):
+        kernel_size = (int(kernel_size),) * image.ndim
+    elif len(kernel_size) != image.ndim:
+        raise ValueError(f"Incorrect value of `kernel_size`: {kernel_size}")
+    kernel_size = [max(int(k), 1) for k in kernel_size]
+
+    out = _clahe(image, kernel_size, clip_limit, nbins)
+    out = img_as_float(out.astype(np.uint16))
+    return rescale_intensity(out)
+
+
+def _clahe(image, kernel_size, clip_limit, nbins):
+    ndim = image.ndim
+
+    pad_start = [k // 2 for k in kernel_size]
+    pad_end = [
+        (k - s % k) % k + math.ceil(k / 2.0)
+        for k, s in zip(kernel_size, image.shape)
+    ]
+    image = jnp.pad(
+        image, [(a, b) for a, b in zip(pad_start, pad_end)], mode="reflect"
+    )
+
+    bin_size = 1 + NR_OF_GRAY // nbins
+    binned = image // bin_size  # values in [0, nbins)
+
+    # ---- per-tile histograms over the interior tile grid
+    ns_hist = [s // k - 1 for s, k in zip(image.shape, kernel_size)]
+    interleave = []
+    for n, k in zip(ns_hist, kernel_size):
+        interleave += [n, k]
+    hist_slices = tuple(
+        slice(k // 2, k // 2 + n * k) for k, n in zip(kernel_size, ns_hist)
+    )
+    order = tuple(range(0, 2 * ndim, 2)) + tuple(range(1, 2 * ndim, 2))
+    tiles = binned[hist_slices].reshape(interleave).transpose(order)
+    n_tiles = int(np.prod(ns_hist))
+    tile_pixels = int(np.prod(kernel_size))
+    flat_tiles = tiles.reshape(n_tiles, tile_pixels)
+    hist = jax.vmap(lambda row: jnp.bincount(row, length=nbins))(flat_tiles)
+    hist = hist.astype(np.float32)
+
+    # ---- clip + redistribute
+    if clip_limit > 0.0:
+        clim = float(max(clip_limit * tile_pixels, 1))
+        for _ in range(4):
+            excess = jnp.sum(jnp.maximum(hist - clim, 0), axis=-1,
+                             keepdims=True)
+            hist = jnp.minimum(hist, clim)
+            hist = hist + excess / nbins
+        hist = jnp.minimum(hist, clim)
+
+    # ---- per-tile LUT: scaled cumulative histogram
+    lut = jnp.cumsum(hist, axis=-1) * ((NR_OF_GRAY - 1) / tile_pixels)
+    lut = jnp.clip(lut, None, NR_OF_GRAY - 1).astype(np.int32)
+    lut = lut.reshape(tuple(ns_hist) + (nbins,))
+    # duplicate edge mappings so every processing tile has 2^ndim neighbors
+    lut = jnp.pad(lut, [(1, 1)] * ndim + [(0, 0)], mode="edge")
+
+    # ---- multilinear blend over processing tiles
+    ns_proc = [s // k for s, k in zip(image.shape, kernel_size)]
+    interleave = []
+    for n, k in zip(ns_proc, kernel_size):
+        interleave += [n, k]
+    blocks = binned.reshape(interleave).transpose(order)
+    blocks_shape = blocks.shape
+    n_proc = int(np.prod(ns_proc))
+    blocks_flat = blocks.reshape(n_proc, -1)
+
+    # within-tile interpolation coefficient along each dim
+    coeff_1d = [jnp.arange(k) / k for k in kernel_size]
+    coeff_nd = jnp.meshgrid(*coeff_1d, indexing="ij")
+    coeff_flat = [c.ravel() for c in coeff_nd]
+
+    result = jnp.zeros(blocks_flat.shape, dtype=np.float32)
+    for edge in itertools.product(*((0, 1),) * ndim):
+        edge_maps = lut[
+            tuple(slice(e, e + n) for e, n in zip(edge, ns_proc))
+        ].reshape(n_proc, nbins)
+        mapped = jnp.take_along_axis(edge_maps, blocks_flat, axis=-1)
+        w = None
+        for d, e in enumerate(edge):
+            f = coeff_flat[d] if e else 1.0 - coeff_flat[d]
+            w = f if w is None else w * f
+        result = result + mapped.astype(np.float32) * w[None, :]
+
+    result = result.reshape(blocks_shape)
+    # invert the (tile, within) interleave
+    inv_order = []
+    for d in range(ndim):
+        inv_order += [d, ndim + d]
+    result = result.transpose(inv_order).reshape(image.shape)
+    unpad = tuple(
+        slice(a, s - b) for a, b, s in zip(pad_start, pad_end, image.shape)
+    )
+    return result[unpad]

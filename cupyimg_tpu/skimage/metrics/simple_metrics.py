@@ -1,0 +1,78 @@
+"""MSE / NRMSE / PSNR (skimage.metrics parity; reference
+cupyimg/skimage/metrics/simple_metrics.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from cupyimg_tpu.skimage._shared.utils import check_shape_equality, warn
+from cupyimg_tpu.skimage.util.dtype import dtype_range
+
+__all__ = [
+    "mean_squared_error",
+    "normalized_root_mse",
+    "peak_signal_noise_ratio",
+]
+
+
+def _as_floats(image0, image1):
+    float_type = np.promote_types(
+        np.promote_types(image0.dtype, image1.dtype), np.float32
+    )
+    return image0.astype(float_type), image1.astype(float_type)
+
+
+def mean_squared_error(image0, image1):
+    """MSE between two images (skimage parity)."""
+    image0 = jnp.asarray(image0)
+    image1 = jnp.asarray(image1)
+    check_shape_equality(image0, image1)
+    image0, image1 = _as_floats(image0, image1)
+    return jnp.mean((image0 - image1) ** 2)
+
+
+def normalized_root_mse(image_true, image_test, normalization="euclidean"):
+    """NRMSE (skimage parity)."""
+    image_true = jnp.asarray(image_true)
+    image_test = jnp.asarray(image_test)
+    check_shape_equality(image_true, image_test)
+    image_true, image_test = _as_floats(image_true, image_test)
+    normalization = normalization.lower()
+    if normalization == "euclidean":
+        denom = jnp.sqrt(jnp.mean(image_true * image_true))
+    elif normalization == "min-max":
+        denom = image_true.max() - image_true.min()
+    elif normalization == "mean":
+        denom = image_true.mean()
+    else:
+        raise ValueError("Unsupported norm_type")
+    return jnp.sqrt(mean_squared_error(image_true, image_test)) / denom
+
+
+def peak_signal_noise_ratio(image_true, image_test, data_range=None):
+    """PSNR in dB (skimage parity)."""
+    image_true = jnp.asarray(image_true)
+    image_test = jnp.asarray(image_test)
+    check_shape_equality(image_true, image_test)
+    if data_range is None:
+        if image_true.dtype != image_test.dtype:
+            warn(
+                "Inputs have mismatched dtype. Setting data_range based on "
+                "im_true.",
+                stacklevel=2,
+            )
+        dmin, dmax = dtype_range[np.dtype(image_true.dtype).type]
+        true_min = float(image_true.min())
+        true_max = float(image_true.max())
+        if true_max > dmax or true_min < dmin:
+            raise ValueError(
+                "im_true has intensity values outside the range expected for "
+                "its data type. Please manually specify the data_range"
+            )
+        if true_min >= 0:
+            data_range = dmax
+        else:
+            data_range = dmax - dmin
+    err = mean_squared_error(image_true, image_test)
+    return 10 * jnp.log10((data_range ** 2) / err)
