@@ -44,6 +44,7 @@ from cupyimg_tpu.scipy.ndimage.fourier import (  # noqa: F401
 )
 from cupyimg_tpu.scipy.ndimage import measurements  # noqa: F401
 from cupyimg_tpu.scipy.ndimage.measurements import (  # noqa: F401
+    find_objects,
     label,
     sum_labels,
     mean,

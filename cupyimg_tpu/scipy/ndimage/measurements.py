@@ -23,6 +23,8 @@ itself is fully jit-compatible and returns the count as a device scalar.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -46,6 +48,7 @@ __all__ = [
     "center_of_mass",
     "histogram",
     "labeled_comprehension",
+    "find_objects",
 ]
 
 
@@ -506,3 +509,55 @@ def labeled_comprehension(
         else:
             out[k] = func(flat_x[mask])
     return out[0] if scalar else out
+
+
+@functools.partial(jax.jit, static_argnames=("num_seg",))
+def _bbox_reduce(labels, num_seg):
+    """Per-label coordinate min/max via segment reductions.
+
+    Device-side replacement for scipy's host ``find_objects`` loop
+    (reference _regionprops.py:8,1235 round-trips through the CPU); XLA
+    scatter-min/max is native on TPU (SURVEY.md N14).
+    """
+    seg = labels.ravel().astype(np.int32)
+    seg = jnp.where((seg < 0) | (seg >= num_seg), 0, seg)
+    los, his = [], []
+    for ax in range(labels.ndim):
+        shape = [1] * labels.ndim
+        shape[ax] = labels.shape[ax]
+        coord = jnp.arange(labels.shape[ax], dtype=np.int32).reshape(shape)
+        coord = jnp.broadcast_to(coord, labels.shape).ravel()
+        los.append(jax.ops.segment_min(coord, seg, num_segments=num_seg))
+        his.append(jax.ops.segment_max(coord, seg, num_segments=num_seg))
+    return jnp.stack(los, 1), jnp.stack(his, 1)
+
+
+def find_objects(input, max_label=0):
+    """Find the bounding slices of labeled objects (scipy parity).
+
+    Returns a list of slice-tuples for labels ``1..max_label`` (``None``
+    for labels not present).  The bounding boxes are computed on device
+    with one segment-min/max pass; only the (max_label, 2*ndim) box table
+    crosses to the host.
+    """
+    x = jnp.asarray(input)
+    if max_label <= 0:
+        max_label = int(jnp.max(x)) if x.size else 0
+    if max_label <= 0:
+        return []
+    lo, hi = _bbox_reduce(x, max_label + 1)
+    lo = np.asarray(lo)
+    hi = np.asarray(hi)
+    imax = np.iinfo(np.int32).max
+    result = []
+    for lbl in range(1, max_label + 1):
+        if lo[lbl, 0] == imax:  # segment_min identity => label absent
+            result.append(None)
+        else:
+            result.append(
+                tuple(
+                    slice(int(a), int(b) + 1)
+                    for a, b in zip(lo[lbl], hi[lbl])
+                )
+            )
+    return result

@@ -28,6 +28,7 @@ from .selem import (
     star,
 )
 from .greyreconstruct import reconstruction
+from .convex_hull import convex_hull_image
 from .misc import remove_small_objects, remove_small_holes
 
 __all__ = [
@@ -52,6 +53,7 @@ __all__ = [
     "octagon",
     "star",
     "reconstruction",
+    "convex_hull_image",
     "remove_small_objects",
     "remove_small_holes",
 ]
