@@ -60,14 +60,16 @@ def _to_ndimage_mode(mode):
 
 
 def _clip_warp_output(input_image, output_image, mode, cval, clip):
-    """Clip output to the input's intensity range (skimage parity)."""
+    """Clip output to the input's intensity range (skimage parity).
+
+    Kept traced (no host sync) so ``warp`` remains jittable."""
     if not clip:
         return output_image
-    min_val = float(jnp.min(input_image))
-    max_val = float(jnp.max(input_image))
-    if mode == "constant" and not (min_val <= cval <= max_val):
-        min_val = min(min_val, cval)
-        max_val = max(max_val, cval)
+    min_val = jnp.min(input_image)
+    max_val = jnp.max(input_image)
+    if mode == "constant":
+        min_val = jnp.minimum(min_val, cval)
+        max_val = jnp.maximum(max_val, cval)
     return jnp.clip(output_image, min_val, max_val)
 
 
