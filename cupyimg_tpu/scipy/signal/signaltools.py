@@ -18,6 +18,7 @@ import numpy as np
 import jax.numpy as jnp
 from jax import lax
 
+from cupyimg_tpu.core.complexutil import make_complex
 from cupyimg_tpu.core import util
 from cupyimg_tpu.scipy.signal._upfirdn import (
     upfirdn,
@@ -333,7 +334,7 @@ def _direct_correlate_nd(in1, w, mode):
         ii = _direct_corr_real(xp.imag, wi, out_shape)
         ri = _direct_corr_real(xp.real, wi, out_shape)
         ir = _direct_corr_real(xp.imag, wr, out_shape)
-        out = (rr - ii) + 1j * (ir + ri)
+        out = make_complex(rr - ii, ir + ri)
     else:
         out = _direct_corr_real(xp, w.astype(acc_dtype), out_shape)
     if mode == "same":
@@ -474,7 +475,7 @@ def _conv2d_common(in1, in2, mode, boundary, fillvalue, convolution):
         ii = _direct_corr_real(xp.imag, w.imag.astype(real_t), out_shape)
         ri = _direct_corr_real(xp.real, w.imag.astype(real_t), out_shape)
         ir = _direct_corr_real(xp.imag, w.real.astype(real_t), out_shape)
-        full = (rr - ii) + 1j * (ir + ri)
+        full = make_complex(rr - ii, ir + ri)
     else:
         full = _direct_corr_real(xp, w.astype(acc_dtype), out_shape)
     if mode == "full":

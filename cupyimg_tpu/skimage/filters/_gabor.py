@@ -8,6 +8,8 @@ import math
 import numpy as np
 import jax.numpy as jnp
 
+from cupyimg_tpu.core.complexutil import make_complex
+
 from cupyimg_tpu.scipy import ndimage as ndi
 
 __all__ = ["gabor_kernel", "gabor"]
@@ -47,8 +49,10 @@ def gabor_kernel(
         -0.5 * (rotx ** 2 / sigma_x ** 2 + roty ** 2 / sigma_y ** 2)
     )
     g /= 2 * np.pi * sigma_x * sigma_y
-    g = g * np.exp(1j * (2 * np.pi * frequency * rotx + offset))
-    return jnp.asarray(g)
+    phase = 2 * np.pi * frequency * rotx + offset
+    # transfer real/imag planes separately; combine on device (complex
+    # host->device transfers are unavailable on some TPU runtimes)
+    return make_complex(g * np.cos(phase), g * np.sin(phase))
 
 
 def gabor(
@@ -61,9 +65,9 @@ def gabor(
         frequency, theta, bandwidth, sigma_x, sigma_y, n_stds, offset
     )
     filtered_real = ndi.convolve(
-        image.astype(np.float64), np.asarray(g.real), mode=mode, cval=cval
+        image.astype(np.float64), jnp.real(g), mode=mode, cval=cval
     )
     filtered_imag = ndi.convolve(
-        image.astype(np.float64), np.asarray(g.imag), mode=mode, cval=cval
+        image.astype(np.float64), jnp.imag(g), mode=mode, cval=cval
     )
     return filtered_real, filtered_imag

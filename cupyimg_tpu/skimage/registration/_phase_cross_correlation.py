@@ -103,7 +103,8 @@ def _upsampled_dft(
         upsample_factor,
         axis_offsets,
     )
-    return re + 1j * im
+    from cupyimg_tpu.core.complexutil import make_complex
+    return make_complex(re, im)
 
 
 def _compute_phasediff(ccmax_real, ccmax_imag):

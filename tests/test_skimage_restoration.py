@@ -1,0 +1,245 @@
+"""skimage.restoration tests (analytic/inverse-filter oracles)."""
+
+import numpy as np
+import pytest
+import scipy.ndimage as sndi
+import scipy.signal as ss
+
+import cupyimg_tpu.skimage.restoration as rest
+from cupyimg_tpu.skimage.restoration import uft
+
+
+def _image(seed=0, n=64):
+    rng = np.random.RandomState(seed)
+    img = sndi.gaussian_filter(rng.rand(n, n), 1)
+    return (img - img.min()) / np.ptp(img)
+
+
+def _circular_blur(img, psf):
+    """Circular convolution with a centered PSF — matches the Fourier
+    diagonalization model exactly."""
+    tf = np.asarray(uft.ir2tf(psf, img.shape, is_real=False))
+    return np.real(np.fft.ifftn(np.fft.fftn(img) * tf))
+
+
+def _psf():
+    psf = np.outer(
+        ss.windows.gaussian(7, 1), ss.windows.gaussian(7, 1)
+    )
+    return psf / psf.sum()
+
+
+class TestUft:
+    def test_unitary(self):
+        x = np.ones((3, 3, 3))
+        out = np.asarray(uft.ufftn(x))
+        assert np.allclose(x.sum() / np.sqrt(x.size), out[0, 0, 0])
+        # Parseval
+        rng = np.random.RandomState(0)
+        y = rng.rand(8, 9)
+        assert np.allclose(
+            np.sum(np.abs(np.asarray(uft.ufft2(y))) ** 2),
+            np.sum(y**2),
+        )
+
+    def test_roundtrip(self):
+        rng = np.random.RandomState(1)
+        y = rng.rand(8, 9)
+        back = np.asarray(uft.uifft2(uft.ufft2(y))).real
+        np.testing.assert_allclose(back, y, atol=1e-12)
+        backr = np.asarray(uft.uirfft2(uft.urfft2(y), shape=y.shape))
+        np.testing.assert_allclose(backr, y, atol=1e-12)
+
+    def test_ir2tf_golden(self):
+        out = np.asarray(uft.ir2tf(np.ones((2, 2)), (2, 2)))
+        np.testing.assert_allclose(out.real, [[4, 0], [0, 0]], atol=1e-12)
+        assert uft.ir2tf(np.ones((2, 2)), (512, 512)).shape == (512, 257)
+        assert uft.ir2tf(
+            np.ones((2, 2)), (512, 512), is_real=False
+        ).shape == (512, 512)
+
+    def test_laplacian_golden(self):
+        tf, ir = uft.laplacian(2, (32, 32))
+        np.testing.assert_array_equal(
+            np.asarray(ir), [[0, -1, 0], [-1, 4, -1], [0, -1, 0]]
+        )
+        np.testing.assert_allclose(
+            np.asarray(tf), np.asarray(uft.ir2tf(ir, (32, 32))),
+            atol=1e-12,
+        )
+
+    def test_image_quad_norm(self):
+        inp = np.ones((5, 5))
+        assert float(
+            uft.image_quad_norm(uft.ufft2(inp))
+        ) == pytest.approx(25.0)
+        assert float(
+            uft.image_quad_norm(uft.urfft2(inp))
+        ) == pytest.approx(25.0)
+
+
+class TestWiener:
+    def test_near_inverse_on_circular_blur(self):
+        img = _image()
+        psf = _psf()
+        blurred = _circular_blur(img, psf)
+        dec = np.asarray(rest.wiener(blurred, psf, 1e-12, clip=False))
+        np.testing.assert_allclose(dec, img, atol=1e-5)
+
+    def test_complex_tf_input(self):
+        img = _image()
+        psf = _psf()
+        blurred = _circular_blur(img, psf)
+        tf = uft.ir2tf(psf, img.shape, is_real=True)
+        dec = np.asarray(
+            rest.wiener(blurred, tf, 1e-12, clip=False)
+        )
+        np.testing.assert_allclose(dec, img, atol=1e-5)
+
+    def test_clip(self):
+        img = _image()
+        psf = _psf()
+        blurred = _circular_blur(img * 10, psf)
+        dec = np.asarray(rest.wiener(blurred, psf, 0.01))
+        assert dec.max() <= 1.0 and dec.min() >= -1.0
+
+    def test_regularization_reduces_noise_amplification(self):
+        rng = np.random.RandomState(2)
+        img = _image()
+        psf = _psf()
+        noisy = _circular_blur(img, psf) + 0.05 * rng.standard_normal(
+            img.shape
+        )
+        sharp = np.asarray(rest.wiener(noisy, psf, 1e-10, clip=False))
+        reg = np.asarray(rest.wiener(noisy, psf, 0.5, clip=False))
+        assert np.mean((reg - img) ** 2) < np.mean((sharp - img) ** 2)
+
+
+class TestRichardsonLucy:
+    def test_converges_on_noise_free_blur(self):
+        img = _image()
+        psf = _psf()
+        blurred = ss.fftconvolve(img, psf, "same")
+        rl = np.asarray(
+            rest.richardson_lucy(blurred, psf, iterations=200,
+                                 clip=False)
+        )
+        assert np.abs(rl - img)[8:-8, 8:-8].mean() < 0.02
+
+    def test_filter_epsilon(self):
+        img = np.zeros((16, 16))
+        img[8, 8] = 1.0
+        psf = np.ones((3, 3)) / 9
+        blurred = ss.fftconvolve(img, psf, "same")
+        out = np.asarray(
+            rest.richardson_lucy(
+                blurred, psf, iterations=5, filter_epsilon=1e-6
+            )
+        )
+        assert np.isfinite(out).all()
+
+    def test_clip_bounds(self):
+        img = _image() * 3
+        psf = _psf()
+        blurred = ss.fftconvolve(img, psf, "same")
+        out = np.asarray(rest.richardson_lucy(blurred, psf, 10))
+        assert out.max() <= 1.0
+
+
+class TestUnsupervisedWiener:
+    def test_recovers_better_than_input(self):
+        rng = np.random.RandomState(3)
+        img = _image()
+        psf = _psf()
+        noisy = _circular_blur(img, psf) + 0.02 * rng.standard_normal(
+            img.shape
+        )
+        dec, chains = rest.unsupervised_wiener(
+            noisy,
+            psf,
+            user_params={
+                "rng": np.random.RandomState(4),
+                "max_iter": 80,
+            },
+            clip=False,
+        )
+        dec = np.asarray(dec)
+        assert len(chains["noise"]) > 2
+        assert len(chains["prior"]) == len(chains["noise"])
+        # posterior mean should beat the degraded observation
+        assert np.mean((dec - img) ** 2) < np.mean((noisy - img) ** 2)
+
+
+class TestDenoiseTV:
+    def test_reduces_noise(self):
+        rng = np.random.RandomState(5)
+        img = np.zeros((32, 32))
+        img[8:24, 8:24] = 1.0
+        noisy = img + 0.3 * rng.standard_normal(img.shape)
+        den = np.asarray(rest.denoise_tv_chambolle(noisy, weight=0.2))
+        assert np.mean((den - img) ** 2) < np.mean((noisy - img) ** 2)
+
+    def test_int_input_converted(self):
+        rng = np.random.RandomState(6)
+        x = (rng.rand(16, 16) * 255).astype(np.uint8)
+        out = np.asarray(rest.denoise_tv_chambolle(x, weight=0.1))
+        assert out.dtype.kind == "f"
+        assert out.min() >= 0 and out.max() <= 1
+
+    def test_multichannel(self):
+        rng = np.random.RandomState(7)
+        x = rng.rand(16, 16, 3)
+        out = rest.denoise_tv_chambolle(x, weight=0.1,
+                                        multichannel=True)
+        assert out.shape == x.shape
+        per_channel = [
+            np.asarray(
+                rest.denoise_tv_chambolle(x[..., c], weight=0.1)
+            )
+            for c in range(3)
+        ]
+        np.testing.assert_allclose(
+            np.asarray(out), np.stack(per_channel, -1), atol=1e-12
+        )
+
+    def test_weight_monotone_smoothing(self):
+        rng = np.random.RandomState(8)
+        x = rng.rand(24, 24)
+        tv = lambda a: np.abs(np.diff(a, axis=0)).sum() + np.abs(
+            np.diff(a, axis=1)
+        ).sum()
+        w_small = tv(np.asarray(rest.denoise_tv_chambolle(x, 0.05)))
+        w_large = tv(np.asarray(rest.denoise_tv_chambolle(x, 0.5)))
+        assert w_large < w_small < tv(x)
+
+
+class TestCalibrateDenoiser:
+    def test_picks_reasonable_weight(self):
+        rng = np.random.RandomState(9)
+        img = np.zeros((32, 32))
+        img[8:24, 8:24] = 1.0
+        noisy = img + 0.2 * rng.standard_normal(img.shape)
+        params = {"weight": [0.001, 0.1]}
+        f, (tested, losses) = rest.calibrate_denoiser(
+            noisy,
+            rest.denoise_tv_chambolle,
+            params,
+            extra_output=True,
+        )
+        assert len(tested) == 2 and len(losses) == 2
+        # the denoising weight should win over near-zero smoothing
+        assert tested[int(np.argmin(losses))]["weight"] == 0.1
+        out = np.asarray(f(noisy))
+        assert np.mean((out - img) ** 2) < np.mean((noisy - img) ** 2)
+
+    def test_exact_loss_path(self):
+        rng = np.random.RandomState(10)
+        noisy = rng.rand(16, 16)
+        params = {"weight": [0.05]}
+        f = rest.calibrate_denoiser(
+            noisy,
+            rest.denoise_tv_chambolle,
+            params,
+            approximate_loss=False,
+        )
+        assert f(noisy).shape == noisy.shape
