@@ -84,3 +84,22 @@ def _supported_float_type(input_dtype, allow_complex=False):
     if input_dtype.kind == "c":
         return np.complex128
     return np.float64
+
+
+def check_nD(array, ndim, arg_name="image"):
+    """Verify an array has one of the expected dimensionalities
+    (skimage parity)."""
+    array = np.asarray(array) if not hasattr(array, "ndim") else array
+    msg_incorrect_dim = (
+        "The parameter `%s` must be a %s-dimensional array"
+    )
+    msg_empty_array = "The parameter `%s` cannot be an empty array"
+    if isinstance(ndim, int):
+        ndim = [ndim]
+    if array.size == 0:
+        raise ValueError(msg_empty_array % (arg_name))
+    if array.ndim not in ndim:
+        raise ValueError(
+            msg_incorrect_dim
+            % (arg_name, "-or-".join([str(n) for n in ndim]))
+        )

@@ -15,4 +15,4 @@ from cupyimg_tpu.skimage.util.shape import (  # noqa: F401
 from cupyimg_tpu.skimage.util.arraycrop import crop  # noqa: F401
 from cupyimg_tpu.skimage.util._invert import invert  # noqa: F401
 from cupyimg_tpu.skimage.util.noise import random_noise  # noqa: F401
-from cupyimg_tpu.skimage.util._map_array import map_array  # noqa: F401
+from cupyimg_tpu.skimage.util._map_array import map_array, ArrayMap  # noqa: F401
