@@ -105,6 +105,22 @@ def label(input, structure=None, output=None, *, greyscale_mode=False):
     if ndim < 1:
         raise ValueError("input must have at least 1 dimension")
     offsets = _structure_offsets(structure, ndim)
+    # full-box structure (all 3^ndim - 1 neighbors)? then propagation is
+    # one reduce_window min, which compiles and runs far faster than the
+    # per-offset shift chain
+    use_box = (not greyscale_mode) and len(offsets) == 3**ndim - 1
+    out_dtype = np.int32 if output is None else output
+    labels, num = _label_core(
+        x, tuple(offsets), bool(greyscale_mode), use_box
+    )
+    return labels.astype(out_dtype), num
+
+
+@functools.partial(
+    jax.jit, static_argnames=("offsets", "greyscale_mode", "use_box")
+)
+def _label_core(x, offsets, greyscale_mode, use_box):
+    ndim = x.ndim
     fg = x != 0
     n = x.size
     SENT = np.int32(n)
@@ -112,23 +128,44 @@ def label(input, structure=None, output=None, *, greyscale_mode=False):
     flat_idx = jnp.arange(n, dtype=np.int32).reshape(x.shape)
     lab0 = jnp.where(fg, flat_idx, SENT)
 
-    # per-offset static connectivity masks (fg and, in greyscale mode,
-    # equal-valued neighbors)
-    valid_masks = []
-    for off in offsets:
-        nb_fg = _shift_with_fill(fg, off, False)
-        valid = fg & nb_fg
-        if greyscale_mode:
+    if use_box:
+        # background stays SENT (the min identity), so a plain window
+        # min over the labels is exactly min-label propagation
+        def propagate(lab):
+            m = lax.reduce_window(
+                lab, SENT, lax.min, (3,) * ndim, (1,) * ndim, "SAME"
+            )
+            return jnp.where(fg, m, SENT)
+
+    elif not greyscale_mode:
+        # arbitrary structure, binary connectivity: background labels
+        # are SENT already, so shifted background contributes nothing
+        def propagate(lab):
+            new = lab
+            for off in offsets:
+                new = jnp.minimum(
+                    new, _shift_with_fill(lab, off, SENT)
+                )
+            return jnp.where(fg, new, SENT)
+
+    else:
+        # greyscale mode: neighbors connect only where values are equal
+        valid_masks = []
+        for off in offsets:
+            nb_fg = _shift_with_fill(fg, off, False)
+            valid = fg & nb_fg
             nb_val = _shift_with_fill(x, off, jnp.asarray(0, x.dtype))
             valid = valid & (x == nb_val)
-        valid_masks.append(valid)
+            valid_masks.append(valid)
 
-    def propagate(lab):
-        new = lab
-        for off, valid in zip(offsets, valid_masks):
-            nb = _shift_with_fill(lab, off, SENT)
-            new = jnp.minimum(new, jnp.where(valid, nb, SENT))
-        return new
+        def propagate(lab):
+            new = lab
+            for off, valid in zip(offsets, valid_masks):
+                nb = _shift_with_fill(lab, off, SENT)
+                new = jnp.minimum(
+                    new, jnp.where(valid, nb, SENT)
+                )
+            return new
 
     def compress(lab):
         # pointer doubling: follow the parent link twice
@@ -159,8 +196,7 @@ def label(input, structure=None, output=None, *, greyscale_mode=False):
     safe = jnp.minimum(flat, np.int32(n - 1))
     new_flat = jnp.where(flat == SENT, 0, rank[safe])
     num = rank[n - 1] if n > 0 else jnp.asarray(0, np.int32)
-    out_dtype = np.int32 if output is None else output
-    return new_flat.reshape(x.shape).astype(out_dtype), num
+    return new_flat.reshape(x.shape), num
 
 
 # ---------------------------------------------------------------------------
