@@ -18,3 +18,5 @@ Public usage mirrors the reference::
 
 from cupyimg_tpu.version import __version__  # noqa: F401
 from cupyimg_tpu.core.config import config  # noqa: F401
+
+from cupyimg_tpu._misc import convolve_separable  # noqa: F401,E402

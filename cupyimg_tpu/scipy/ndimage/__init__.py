@@ -80,3 +80,26 @@ from cupyimg_tpu.scipy.ndimage.morphology import (  # noqa: F401
     white_tophat,
     black_tophat,
 )
+
+# spline-prefilter internals re-exported for reference parity
+# (reference _spline_prefilter_core.py:14-42, 256-287); the "raw kernel"
+# factory returns the jitted 1-d prefilter instead of a CUDA RawKernel
+from cupyimg_tpu.ops.iir import get_poles, get_gain  # noqa: F401,E402
+
+
+def get_raw_spline1d_kernel(order, mode):
+    """Return a callable applying the order-``order`` spline prefilter
+    along axis 0 (the TPU analog of the reference's per-row CUDA
+    RawKernel factory)."""
+    from cupyimg_tpu.ops import iir as _iir
+    import numpy as _np
+
+    def kernel(x):
+        nb = _iir._n_boundary(
+            get_poles(order), _np.dtype(x.dtype).char.lower()
+        )
+        return _iir._apply_axis0(
+            x, order, _iir.get_spline_mode(mode), nb
+        )
+
+    return kernel

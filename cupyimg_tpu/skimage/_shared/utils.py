@@ -3,6 +3,8 @@ cupyimg/skimage/_shared/utils.py, SURVEY.md S1)."""
 
 from __future__ import annotations
 
+import functools
+import sys
 import warnings
 
 import numpy as np
@@ -103,3 +105,183 @@ def check_nD(array, ndim, arg_name="image"):
             msg_incorrect_dim
             % (arg_name, "-or-".join([str(n) for n in ndim]))
         )
+
+
+class skimage_deprecation(Warning):
+    """Create our own deprecation class, since Python >= 2.7 silences
+    deprecations by default."""
+
+
+class change_default_value:
+    """Decorator to warn when a parameter's default value will change
+    (reference _shared/utils.py change_default_value)."""
+
+    def __init__(self, arg_name, *, new_value, changed_version,
+                 warning_msg=None):
+        self.arg_name = arg_name
+        self.new_value = new_value
+        self.warning_msg = warning_msg
+        self.changed_version = changed_version
+
+    def __call__(self, func):
+        import inspect
+
+        parameters = inspect.signature(func).parameters
+        arg_idx = list(parameters.keys()).index(self.arg_name)
+        old_value = parameters[self.arg_name].default
+
+        if self.warning_msg is None:
+            self.warning_msg = (
+                f"The new recommended value for {self.arg_name} is "
+                f"{self.new_value}. Until version {self.changed_version}, "
+                f"the default {self.arg_name} value is {old_value}. "
+                f"From version {self.changed_version}, the {self.arg_name} "
+                f"default value will be {self.new_value}. To avoid "
+                f"this warning, please explicitly set {self.arg_name} value."
+            )
+
+        @functools.wraps(func)
+        def fixed_func(*args, **kwargs):
+            if len(args) < arg_idx + 1 and self.arg_name not in kwargs:
+                warnings.warn(
+                    self.warning_msg, FutureWarning, stacklevel=2
+                )
+            return func(*args, **kwargs)
+
+        return fixed_func
+
+
+class remove_arg:
+    """Decorator to warn that an argument is deprecated and will be
+    removed (reference _shared/utils.py remove_arg)."""
+
+    def __init__(self, arg_name, *, changed_version, help_msg=None):
+        self.arg_name = arg_name
+        self.help_msg = help_msg
+        self.changed_version = changed_version
+
+    def __call__(self, func):
+        import inspect
+
+        parameters = inspect.signature(func).parameters
+        arg_idx = list(parameters.keys()).index(self.arg_name)
+        warning_msg = (
+            f"{self.arg_name} argument is deprecated and will be removed "
+            f"in version {self.changed_version}. To avoid this warning, "
+            f"please do not use the {self.arg_name} argument. Please "
+            f"see {func.__name__} documentation for more details."
+        )
+        if self.help_msg is not None:
+            warning_msg += f" {self.help_msg}"
+
+        @functools.wraps(func)
+        def fixed_func(*args, **kwargs):
+            if len(args) > arg_idx or self.arg_name in kwargs:
+                warnings.warn(warning_msg, FutureWarning, stacklevel=2)
+            return func(*args, **kwargs)
+
+        return fixed_func
+
+
+class deprecate_kwarg:
+    """Decorator ensuring backward compatibility when a kwarg is
+    renamed (reference _shared/utils.py deprecate_kwarg)."""
+
+    def __init__(self, kwarg_mapping, warning_msg=None,
+                 removed_version=None):
+        self.kwarg_mapping = kwarg_mapping
+        if warning_msg is None:
+            self.warning_msg = (
+                "'{old_arg}' is a deprecated argument name "
+                "for `{func_name}`. "
+            )
+            if removed_version is not None:
+                self.warning_msg += (
+                    f"It will be removed in version {removed_version}. "
+                )
+            self.warning_msg += "Please use '{new_arg}' instead."
+        else:
+            self.warning_msg = warning_msg
+
+    def __call__(self, func):
+        @functools.wraps(func)
+        def fixed_func(*args, **kwargs):
+            for old_arg, new_arg in self.kwarg_mapping.items():
+                if old_arg in kwargs:
+                    warnings.warn(
+                        self.warning_msg.format(
+                            old_arg=old_arg,
+                            func_name=func.__name__,
+                            new_arg=new_arg,
+                        ),
+                        FutureWarning,
+                        stacklevel=2,
+                    )
+                    kwargs[new_arg] = kwargs.pop(old_arg)
+            return func(*args, **kwargs)
+
+        return fixed_func
+
+
+class deprecated(object):
+    """Decorator to mark deprecated functions with a warning
+    (reference _shared/utils.py deprecated)."""
+
+    def __init__(self, alt_func=None, behavior="warn",
+                 removed_version=None):
+        self.alt_func = alt_func
+        self.behavior = behavior
+        self.removed_version = removed_version
+
+    def __call__(self, func):
+        alt_msg = ""
+        if self.alt_func is not None:
+            alt_msg = f" Use ``{self.alt_func}`` instead."
+        rmv_msg = ""
+        if self.removed_version is not None:
+            rmv_msg = (
+                f" and will be removed in version {self.removed_version}"
+            )
+        msg = f"Function ``{func.__name__}`` is deprecated{rmv_msg}.{alt_msg}"
+
+        @functools.wraps(func)
+        def wrapped(*args, **kwargs):
+            if self.behavior == "warn":
+                func_code = func.__code__
+                warnings.simplefilter("always", skimage_deprecation)
+                warnings.warn_explicit(
+                    msg,
+                    category=skimage_deprecation,
+                    filename=func_code.co_filename,
+                    lineno=func_code.co_firstlineno + 1,
+                )
+            elif self.behavior == "raise":
+                raise skimage_deprecation(msg)
+            return func(*args, **kwargs)
+
+        doc = "**Deprecated function**." + alt_msg
+        if wrapped.__doc__ is None:
+            wrapped.__doc__ = doc
+        else:
+            wrapped.__doc__ = doc + "\n\n    " + wrapped.__doc__
+        return wrapped
+
+
+def get_bound_method_class(m):
+    """Return the class for a bound method."""
+    return m.im_class if sys.version < "3" else m.__self__.__class__
+
+
+def check_random_state(seed):
+    """Turn seed into a np.random.RandomState instance (reference
+    _shared/utils.py check_random_state)."""
+    if seed is None or seed is np.random:
+        return np.random.mtrand._rand
+    if isinstance(seed, (int, np.integer)):
+        return np.random.RandomState(seed)
+    if isinstance(seed, np.random.RandomState):
+        return seed
+    raise ValueError(
+        "%r cannot be used to seed a numpy.random.RandomState "
+        "instance" % seed
+    )

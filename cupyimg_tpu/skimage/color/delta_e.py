@@ -142,3 +142,17 @@ def deltaE_cmc(lab1, lab2, kL=1, kC=1):
     dE2 += (dC / (kC * SC)) ** 2
     dE2 += dH2 / (SH ** 2)
     return jnp.sqrt(jnp.maximum(dE2, 0))
+
+
+def get_dH2(lab1, lab2):
+    """Squared hue difference term of deltaE_cmc / deltaE_ciede94,
+    computed in the round-off-stable form 2*(|ab1||ab2| - ab1.ab2)
+    (reference delta_e.py:330-358)."""
+    lab1 = jnp.asarray(lab1)
+    lab2 = jnp.asarray(lab2)
+    a1, b1 = jnp.moveaxis(lab1, -1, 0)[1:3]
+    a2, b2 = jnp.moveaxis(lab2, -1, 0)[1:3]
+    C1 = jnp.hypot(a1, b1)
+    C2 = jnp.hypot(a2, b2)
+    term = (C1 * C2) - (a1 * a2 + b1 * b2)
+    return 2 * term

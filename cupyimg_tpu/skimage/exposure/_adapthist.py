@@ -19,6 +19,7 @@ import numbers
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from cupyimg_tpu.skimage.exposure.exposure import rescale_intensity
 from cupyimg_tpu.skimage.util.dtype import img_as_float, img_as_uint
@@ -151,3 +152,67 @@ def _clahe(image, kernel_size, clip_limit, nbins):
         slice(a, s - b) for a, b, s in zip(pad_start, pad_end, image.shape)
     )
     return result[unpad]
+
+
+def clip_histogram(hist, clip_limit):
+    """Clip a histogram at ``clip_limit`` and redistribute the excess
+    across under-limit bins (reference _adapthist.py:279-330).
+
+    The reference trickles residual excess sequentially; here each
+    round tops up the first ``excess`` under-limit bins by one (a
+    ``lax.while_loop``), which conserves mass and never exceeds the
+    clip limit.
+    """
+    hist = jnp.asarray(hist, dtype=float)
+    size = hist.shape[-1]
+    excess = jnp.sum(
+        jnp.maximum(hist - clip_limit, 0), axis=-1, keepdims=True
+    )
+    clipped = jnp.minimum(hist, clip_limit)
+
+    # average increment pass (reference's steps 2-4)
+    bin_incr = jnp.floor(excess / size)
+    upper = clip_limit - bin_incr
+    mid = (clipped >= upper) & (clipped < clip_limit)
+    used = jnp.sum(
+        jnp.where(mid, clip_limit - clipped, 0), axis=-1, keepdims=True
+    ) + jnp.sum(
+        jnp.where(clipped < upper, bin_incr, 0), axis=-1, keepdims=True
+    )
+    clipped = jnp.where(mid, clip_limit, clipped)
+    clipped = jnp.where(clipped < upper, clipped + bin_incr, clipped)
+    excess = jnp.maximum(excess - used, 0)
+
+    # trickle the remaining excess one count at a time
+    def cond(carry):
+        h, e = carry
+        under = h < clip_limit
+        return jnp.any((e >= 1) & jnp.any(under, axis=-1,
+                                          keepdims=True))
+
+    def body(carry):
+        h, e = carry
+        under = h < clip_limit
+        k = jnp.minimum(
+            jnp.floor(e), under.sum(axis=-1, keepdims=True)
+        )
+        take = under & (jnp.cumsum(under, axis=-1) <= k)
+        inc = jnp.minimum(1.0, clip_limit - h)
+        h = jnp.where(take, h + inc, h)
+        e = e - jnp.sum(jnp.where(take, inc, 0.0), axis=-1,
+                        keepdims=True)
+        return h, e
+
+    clipped, _ = lax.while_loop(cond, body, (clipped, excess))
+    return clipped
+
+
+def map_histogram(hist, min_val, max_val, n_pixels):
+    """Equalized lookup table from a (clipped) histogram
+    (reference _adapthist.py:333-360)."""
+    hist = jnp.asarray(hist)
+    out = jnp.cumsum(hist, axis=-1).astype(float)
+    out = out * (max_val - min_val) / n_pixels
+    out = out + min_val
+    out = jnp.minimum(out, max_val)
+    return out.astype(int)

@@ -117,3 +117,13 @@ def wiener(data, impulse_response=None, filter_params=None, K=0.25,
     H_mag_sqr = jnp.abs(F) ** 2
     F = 1 / F * H_mag_sqr / (H_mag_sqr + K)
     return _center(jnp.fft.ifftn(G * F).real, data.shape)
+
+
+# `forward` is the reference's name for filter_forward
+# (reference lpi_filter.py:126-161)
+forward = filter_forward
+
+
+def constrained_least_squares(data, lam, impulse_response=None,
+                              filter_params=None):
+    raise NotImplementedError

@@ -2,7 +2,7 @@
 cupyimg/skimage/segmentation/__init__.py)."""
 
 from .boundaries import find_boundaries, mark_boundaries
-from ._join import join_segmentations, relabel_sequential
+from ._join import join_segmentations, relabel_sequential, clear_border
 from .morphsnakes import (
     morphological_geodesic_active_contour,
     morphological_chan_vese,
@@ -15,6 +15,7 @@ from .morphsnakes import (
 __all__ = [
     "find_boundaries",
     "mark_boundaries",
+    "clear_border",
     "join_segmentations",
     "relabel_sequential",
     "morphological_geodesic_active_contour",

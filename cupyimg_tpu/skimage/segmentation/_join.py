@@ -8,7 +8,7 @@ import jax.numpy as jnp
 
 from ..util._map_array import map_array, ArrayMap
 
-__all__ = ["join_segmentations", "relabel_sequential"]
+__all__ = ["join_segmentations", "relabel_sequential", "clear_border"]
 
 
 def join_segmentations(s1, s2):
@@ -88,3 +88,74 @@ def relabel_sequential(label_field, offset=1):
     fw_map = ArrayMap(in_vals, out_vals)
     inv_map = ArrayMap(out_vals, in_vals)
     return out_array, fw_map, inv_map
+
+
+def clear_border(labels, buffer_size=0, bgval=0, mask=None):
+    """Clear objects connected to the label image border.
+
+    The reference lists this in its API but does not implement it; here
+    border-touching components are found with the atomics-free label +
+    a unique over the border shell, then removed with ``map_array``-style
+    selects.
+
+    Parameters
+    ----------
+    labels : (M[, N[, ..., P]]) array of int or bool
+        Imaging data labels.
+    buffer_size : int, optional
+        The width of the border examined; objects reaching into the
+        border are removed.
+    bgval : float or int, optional
+        Cleared objects are set to this value.
+    mask : ndarray of bool, same shape as `labels`, optional
+        Objects touching the False region of the mask are removed.
+
+    Returns
+    -------
+    out : (M[, N[, ..., P]]) array
+        Cleared version of the input.
+    """
+    from cupyimg_tpu.scipy import ndimage as ndi
+
+    labels = jnp.asarray(labels)
+    if any(buffer_size >= s for s in labels.shape) and mask is None:
+        # ignore buffer_size if mask
+        raise ValueError("buffer size may not be greater than labels size")
+
+    if mask is not None:
+        mask = jnp.asarray(mask)
+        if mask.shape != labels.shape:
+            raise ValueError(
+                "labels and mask should have the same shape but "
+                "are {} and {}".format(labels.shape, mask.shape)
+            )
+        if np.dtype(mask.dtype) != bool:
+            raise TypeError("mask should be of type bool.")
+        borders = ~mask
+    else:
+        borders = np.zeros(labels.shape, dtype=bool)
+        ext = buffer_size + 1
+        for ax in range(labels.ndim):
+            sl = [slice(None)] * labels.ndim
+            sl[ax] = slice(0, ext)
+            borders[tuple(sl)] = True
+            sl[ax] = slice(labels.shape[ax] - ext, labels.shape[ax])
+            borders[tuple(sl)] = True
+        borders = jnp.asarray(borders)
+
+    # reuse or create the connected-components labeling
+    if np.dtype(labels.dtype).kind == "b" or bool(
+        jnp.all((labels == 0) | (labels == 1))
+    ):
+        ccs, _ = ndi.label(labels)
+    else:
+        ccs = labels.astype(np.int32)
+
+    nlab = int(jnp.max(ccs)) + 1
+    touch = jnp.zeros((nlab,), bool).at[
+        jnp.where(borders, ccs, 0).ravel()
+    ].set(True)
+    touch = touch.at[0].set(False)
+    cleared = jnp.where(touch[ccs], jnp.asarray(bgval, labels.dtype),
+                        labels)
+    return cleared

@@ -8,6 +8,7 @@ from cupyimg_tpu.skimage.transform._geometric import (  # noqa: F401
     FundamentalMatrixTransform,
     EssentialMatrixTransform,
     PolynomialTransform,
+    PiecewiseAffineTransform,
 )
 from cupyimg_tpu.skimage.transform._warps import (  # noqa: F401
     warp,

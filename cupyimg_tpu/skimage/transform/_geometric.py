@@ -539,7 +539,78 @@ class PolynomialTransform(GeometricTransform):
         )
 
 
+
+class PiecewiseAffineTransform(GeometricTransform):
+    """Piecewise affine transformation over a Delaunay mesh of control
+    points (reference _geometric.py:1000-1145).
+
+    The tiny mesh geometry (triangulation, per-triangle affine fits,
+    point-in-simplex queries) runs on the host via scipy.spatial; the
+    per-point affine application is vectorized over all simplices.
+    """
+
+    def __init__(self, *, dimensionality=2):
+        self._tesselation = None
+        self._inverse_tesselation = None
+        self.affines = None
+        self.inverse_affines = None
+
+    def estimate(self, src, dst):
+        """Estimate the transformation from corresponding points."""
+        from scipy import spatial
+
+        src = np.asarray(src, dtype=float)
+        dst = np.asarray(dst, dtype=float)
+        ndim = src.shape[1]
+
+        self._tesselation = spatial.Delaunay(src)
+        self.affines = []
+        for tri in self._tesselation.simplices:
+            affine = AffineTransform(dimensionality=ndim)
+            affine.estimate(src[tri, :], dst[tri, :])
+            self.affines.append(affine)
+
+        self._inverse_tesselation = spatial.Delaunay(dst)
+        self.inverse_affines = []
+        for tri in self._inverse_tesselation.simplices:
+            affine = AffineTransform(dimensionality=ndim)
+            affine.estimate(dst[tri, :], src[tri, :])
+            self.inverse_affines.append(affine)
+
+        return True
+
+    def _apply(self, coords, tesselation, affines):
+        coords = np.asarray(coords, dtype=float)
+        simplex = tesselation.find_simplex(coords)
+
+        # stack per-simplex homogeneous matrices and gather per point
+        mats = np.stack(
+            [np.asarray(a.params) for a in affines], axis=0
+        )
+        d = coords.shape[1]
+        homo = np.concatenate(
+            [coords, np.ones((coords.shape[0], 1))], axis=1
+        )
+        sel = np.clip(simplex, 0, mats.shape[0] - 1)
+        out = np.einsum("nij,nj->ni", mats[sel], homo)[:, :d]
+        out[simplex == -1, :] = -1
+        return jnp.asarray(out)
+
+    def __call__(self, coords):
+        """Apply forward transformation; points outside the mesh map
+        to -1."""
+        return self._apply(coords, self._tesselation, self.affines)
+
+    def inverse(self, coords):
+        """Apply inverse transformation; points outside the mesh map
+        to -1."""
+        return self._apply(
+            coords, self._inverse_tesselation, self.inverse_affines
+        )
+
+
 TRANSFORMS = {
+    "piecewise-affine": PiecewiseAffineTransform,
     "euclidean": EuclideanTransform,
     "similarity": SimilarityTransform,
     "affine": AffineTransform,

@@ -10,6 +10,8 @@ from __future__ import annotations
 
 import math
 
+import warnings
+
 import numpy as np
 import jax.numpy as jnp
 
@@ -223,3 +225,17 @@ def img_as_ubyte(image, force_copy=False):
 def img_as_bool(image, force_copy=False):
     """Convert to bool (skimage parity)."""
     return _convert(image, np.bool_, force_copy)
+
+
+def convert(image, dtype, force_copy=False, uniform=False):
+    """Deprecated public alias of the internal range converter
+    (skimage parity)."""
+    warnings.warn(
+        "The use of this function is discouraged as its behavior may "
+        "change dramatically in scikit-image 1.0. This function will be "
+        "removed in scikit-image 1.0.",
+        FutureWarning,
+        stacklevel=2,
+    )
+    return _convert(image=image, dtype=dtype, force_copy=force_copy,
+                    uniform=uniform)

@@ -128,3 +128,168 @@ def _check_error_equivalence(tpu_error, np_error, accept_error):
         raise AssertionError(f"JAX error not of accepted type: {tpu_error!r}")
     if not isinstance(np_error, accepted):
         raise AssertionError(f"numpy error not of accepted type: {np_error!r}")
+
+
+def _dual_backend(compare, scipy_name=None, accept_error=False):
+    """Build a dual-run decorator with a custom comparison function
+    (reference-named decorator family, helper.py:408-862)."""
+
+    def decorator(impl):
+        @functools.wraps(impl)
+        def wrapper(*args, **kwargs):
+            import jax.numpy as jnp
+            import scipy as _scipy
+            import cupyimg_tpu.scipy as _tscipy
+
+            tpu_result, tpu_error = _call_backend(
+                impl, args, kwargs, jnp, _tscipy, scipy_name
+            )
+            np_result, np_error = _call_backend(
+                impl, args, kwargs, np, _scipy, scipy_name
+            )
+            if np_error is not None or tpu_error is not None:
+                _check_error_equivalence(
+                    tpu_error, np_error, accept_error
+                )
+                return
+            if np_result is None and tpu_result is None:
+                return
+            t_res = (
+                tpu_result
+                if isinstance(tpu_result, tuple)
+                else (tpu_result,)
+            )
+            n_res = (
+                np_result
+                if isinstance(np_result, tuple)
+                else (np_result,)
+            )
+            assert len(t_res) == len(n_res)
+            for t, n in zip(t_res, n_res):
+                compare(np.asarray(t), np.asarray(n))
+
+        return wrapper
+
+    return decorator
+
+
+def numpy_cupyimg_allclose(
+    rtol=1e-7, atol=0, err_msg="", scipy_name=None, name="xp",
+    accept_error=False, **ignored,
+):
+    """Run the test with xp=jnp and xp=numpy; assert allclose."""
+    return numpy_tpu_allclose(
+        rtol=rtol, atol=atol, err_msg=err_msg, scipy_name=scipy_name,
+        name=name, accept_error=accept_error,
+    )
+
+
+def numpy_cupyimg_array_almost_equal(
+    decimal=6, err_msg="", scipy_name=None, accept_error=False,
+    **ignored,
+):
+    def compare(t, n):
+        np.testing.assert_array_almost_equal(
+            t, n, decimal=decimal, err_msg=err_msg
+        )
+
+    return _dual_backend(compare, scipy_name, accept_error)
+
+
+def numpy_cupyimg_array_almost_equal_nulp(
+    nulp=1, scipy_name=None, accept_error=False, **ignored
+):
+    def compare(t, n):
+        np.testing.assert_array_almost_equal_nulp(t, n, nulp=nulp)
+
+    return _dual_backend(compare, scipy_name, accept_error)
+
+
+def numpy_cupyimg_array_max_ulp(
+    maxulp=1, dtype=None, scipy_name=None, accept_error=False,
+    **ignored,
+):
+    def compare(t, n):
+        np.testing.assert_array_max_ulp(t, n, maxulp=maxulp,
+                                        dtype=dtype)
+
+    return _dual_backend(compare, scipy_name, accept_error)
+
+
+def numpy_cupyimg_array_equal(
+    err_msg="", scipy_name=None, accept_error=False, strides_check=False,
+    **ignored,
+):
+    def compare(t, n):
+        np.testing.assert_array_equal(t, n, err_msg=err_msg)
+
+    return _dual_backend(compare, scipy_name, accept_error)
+
+
+def numpy_cupyimg_array_list_equal(
+    err_msg="", scipy_name=None, **ignored
+):
+    def compare(t, n):
+        np.testing.assert_array_equal(t, n, err_msg=err_msg)
+
+    return _dual_backend(compare, scipy_name, False)
+
+
+def numpy_cupyimg_array_less(
+    err_msg="", scipy_name=None, accept_error=False, **ignored
+):
+    def compare(t, n):
+        np.testing.assert_array_less(t, n, err_msg=err_msg)
+
+    return _dual_backend(compare, scipy_name, accept_error)
+
+
+def numpy_cupyimg_equal(scipy_name=None, **ignored):
+    def compare(t, n):
+        assert (t == n).all(), f"results differ: {t!r} != {n!r}"
+
+    return _dual_backend(compare, scipy_name, False)
+
+
+def numpy_cupyimg_raises(
+    scipy_name=None, accept_error=Exception, **ignored
+):
+    """Both backends must raise an (equivalent) error."""
+
+    def decorator(impl):
+        @functools.wraps(impl)
+        def wrapper(*args, **kwargs):
+            import jax.numpy as jnp
+            import scipy as _scipy
+            import cupyimg_tpu.scipy as _tscipy
+
+            _, tpu_error = _call_backend(
+                impl, args, kwargs, jnp, _tscipy, scipy_name
+            )
+            _, np_error = _call_backend(
+                impl, args, kwargs, np, _scipy, scipy_name
+            )
+            _check_error_equivalence(tpu_error, np_error, accept_error)
+
+        return wrapper
+
+    return decorator
+
+
+def for_dtypes(dtypes, name="dtype"):
+    """Parameterize a test over dtypes (reference helper.py:864)."""
+
+    def decorator(impl):
+        @functools.wraps(impl)
+        def wrapper(*args, **kwargs):
+            for dtype in dtypes:
+                try:
+                    kwargs[name] = np.dtype(dtype).type
+                    impl(*args, **kwargs)
+                except Exception:
+                    print(f"dtype is {dtype}")
+                    raise
+
+        return wrapper
+
+    return decorator
