@@ -125,10 +125,28 @@ def pad(x, pad_width, mode: str, cval=0.0):
     cval : fill value for constant modes
     """
     check_mode(mode)
+    pad_width = [(int(lo), int(hi)) for lo, hi in pad_width]
+    if all(lo == 0 and hi == 0 for lo, hi in pad_width):
+        return x
+
+    # Fast path: one fused jnp.pad for all axes. A gather per axis (the
+    # general path below) costs one full HBM round trip *per axis*,
+    # which dominated the fused-stencil kernels. jnp.pad's 'reflect'
+    # and 'symmetric' require pad < axis length; fall back otherwise.
+    pad_mode = ndimage_mode_to_pad_mode(mode)
+    fits = all(
+        max(lo, hi) < x.shape[ax] or (lo == 0 and hi == 0)
+        for ax, (lo, hi) in enumerate(pad_width)
+    )
+    if fits or pad_mode in ("constant", "edge", "wrap"):
+        if pad_mode == "constant":
+            return jnp.pad(
+                x, pad_width, mode="constant", constant_values=cval
+            )
+        return jnp.pad(x, pad_width, mode=pad_mode)
+
     y = x
     for axis, (lo, hi) in enumerate(pad_width):
-        lo = int(lo)
-        hi = int(hi)
         if lo == 0 and hi == 0:
             continue
         n = y.shape[axis]

@@ -1,0 +1,385 @@
+"""Fused separable stencils as Pallas TPU kernels.
+
+The jnp separable driver (ops/stencil.py) runs one HBM round trip per
+axis — 3 reads + 3 writes of the whole volume for a 3-D filter.  This
+module fuses all axes into ONE pass: each grid step DMAs a halo'd slab
+from HBM into VMEM (double-buffered, overlapping the previous step's
+compute), applies every per-axis 1-D correlation in VMEM (unrolled
+static-shift multiply-adds on the VPU), and writes the interior block
+once.  Traffic drops to ~1 read + 1 write of the volume, which is the
+HBM roofline for this op (SURVEY.md §6: the reference's 1080 Ti number
+is bandwidth-bound for exactly this reason).
+
+Boundary handling: the input is pre-padded with the ndimage mode in a
+single fused ``boundary.pad`` (one HBM round trip) that also covers the
+grid tail and lane alignment, so the kernel only ever reads in-bounds.
+(A lane-halo-free variant using in-kernel ``pltpu.roll`` was measured
+2.7x slower — lane rotations are expensive on the VPU — so the lane
+axis keeps its halo, rounded up to full 128-lane tiles.)
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from cupyimg_tpu.core import boundary
+
+__all__ = ["fused_separable_correlate", "supports"]
+
+# per-block VMEM budget (bytes) used to choose block sizes
+_VMEM_BUDGET = 5 * 1024 * 1024 // 4
+# unrolling very long taps bloats the kernel; fall back beyond this
+_MAX_TAPS = 64
+
+
+def supports(x, weights):
+    """Whether the fused Pallas path applies to this call."""
+    if jax.default_backend() != "tpu":
+        return False
+    if np.dtype(x.dtype).kind != "f" or np.dtype(x.dtype).itemsize > 4:
+        return False
+    if x.ndim not in (2, 3):
+        return False
+    if any(w is not None and len(w) > _MAX_TAPS for w in weights):
+        return False
+    if x.size < (1 << 20):  # small arrays: dispatch overhead dominates
+        return False
+    return True
+
+
+def _round_up(v, m):
+    return ((v + m - 1) // m) * m
+
+
+def _choose_blocks(shape, halos, lane, itemsize):
+    """Pick grid block sizes for the leading (non-lane) axes so the
+    slab + temporaries fit the VMEM budget."""
+    ndim = len(shape)
+    if ndim == 2:
+        b0 = 256
+        while (b0 + halos[0]) * lane * itemsize > _VMEM_BUDGET and b0 > 8:
+            b0 //= 2
+        return [b0]
+    b0, b1 = 16, 64
+    while (
+        (b0 + halos[0]) * (b1 + halos[1]) * lane * itemsize
+        > _VMEM_BUDGET
+        and b1 > 8
+    ):
+        b1 //= 2
+    while (
+        (b0 + halos[0]) * (b1 + halos[1]) * lane * itemsize
+        > _VMEM_BUDGET
+        and b0 > 8
+    ):
+        b0 //= 2
+    return [b0, b1]
+
+
+def _axis_corr(w, get_slice):
+    """Emit the 1-D correlation sum, exploiting equal or symmetric taps
+    to cut VPU multiplies (the kernel is compute-bound on the VPU for
+    small footprints)."""
+    n = len(w)
+    uniform = all(v == w[0] for v in w)
+    symmetric = all(w[k] == w[n - 1 - k] for k in range(n // 2))
+    if uniform:
+        acc = get_slice(0)
+        for k in range(1, n):
+            acc = acc + get_slice(k)
+        return acc * w[0] if w[0] != 1.0 else acc
+    if symmetric and n > 2:
+        mid = n // 2
+        acc = w[mid] * get_slice(mid) if n % 2 == 1 else None
+        for k in range(n // 2):
+            term = w[k] * (get_slice(k) + get_slice(n - 1 - k))
+            acc = term if acc is None else acc + term
+        return acc
+    acc = w[0] * get_slice(0)
+    for k in range(1, n):
+        acc = acc + w[k] * get_slice(k)
+    return acc
+
+
+def _make_kernel_3d(w0, w1, w2, S2, B0, B1, sl0, sl1):
+    def kernel(x_any, out_ref, slab, sem):
+        # double-buffered halo'd slab loads: kick off the next grid
+        # step's DMA before waiting on this step's
+        i32 = lambda v: jnp.asarray(v, jnp.int32)  # noqa: E731
+        i = i32(pl.program_id(0))
+        j = i32(pl.program_id(1))
+        g1 = i32(pl.num_programs(1))
+        t = i * g1 + j
+        n_t = i32(pl.num_programs(0)) * g1
+        two = jnp.asarray(2, t.dtype)
+        slot = jax.lax.rem(t, two)
+        next_slot = jax.lax.rem(t + 1, two)
+
+        def dma(tt, sl):
+            ii = jax.lax.div(tt, g1)
+            jj = jax.lax.rem(tt, g1)
+            ii = jnp.asarray(ii, jnp.int32)
+            jj = jnp.asarray(jj, jnp.int32)
+            return pltpu.make_async_copy(
+                x_any.at[
+                    pl.ds(ii * B0, sl0), pl.ds(jj * B1, sl1), :
+                ],
+                slab.at[sl],
+                sem.at[sl],
+            )
+
+        @pl.when(t == 0)
+        def _():
+            dma(t, slot).start()
+
+        @pl.when(t + 1 < n_t)
+        def _():
+            dma(t + 1, next_slot).start()
+
+        dma(t, slot).wait()
+
+        x = slab[slot]
+        acc = (
+            _axis_corr(w0, lambda k: x[k : k + B0])
+            if w0 is not None else x
+        )
+        acc1 = (
+            _axis_corr(w1, lambda k: acc[:, k : k + B1])
+            if w1 is not None else acc
+        )
+        out = (
+            _axis_corr(w2, lambda k: acc1[:, :, k : k + S2])
+            if w2 is not None else acc1
+        )
+        out_ref[:] = out.astype(out_ref.dtype)
+
+    return kernel
+
+
+def _make_kernel_2d(w0, w1, S1, B0, sl0):
+    def kernel(x_any, out_ref, slab, sem):
+        t = jnp.asarray(pl.program_id(0), jnp.int32)
+        n_t = jnp.asarray(pl.num_programs(0), jnp.int32)
+        two = jnp.asarray(2, t.dtype)
+        slot = jax.lax.rem(t, two)
+        next_slot = jax.lax.rem(t + 1, two)
+
+        def dma(tt, sl):
+            return pltpu.make_async_copy(
+                x_any.at[pl.ds(tt * B0, sl0), :],
+                slab.at[sl],
+                sem.at[sl],
+            )
+
+        @pl.when(t == 0)
+        def _():
+            dma(t, slot).start()
+
+        @pl.when(t + 1 < n_t)
+        def _():
+            dma(t + 1, next_slot).start()
+
+        dma(t, slot).wait()
+
+        x = slab[slot]
+        acc = (
+            _axis_corr(w0, lambda k: x[k : k + B0])
+            if w0 is not None else x
+        )
+        out = (
+            _axis_corr(w1, lambda k: acc[:, k : k + S1])
+            if w1 is not None else acc
+        )
+        out_ref[:] = out.astype(out_ref.dtype)
+
+    return kernel
+
+
+def _jnp_separable(x, weights, origins, modes, cval):
+    """Plain shifted-slice separable correlate (used for the tiny
+    lane-seam strips)."""
+    for ax, w in enumerate(weights):
+        if w is None:
+            continue
+        size = len(w)
+        lo = size // 2 + origins[ax]
+        hi = size - 1 - lo
+        pw = [(0, 0)] * x.ndim
+        pw[ax] = (lo, hi)
+        xp = boundary.pad(x, pw, modes[ax], cval)
+        acc = None
+        for k in range(size):
+            sl = [slice(None)] * x.ndim
+            sl[ax] = slice(k, k + x.shape[ax])
+            term = w[k] * xp[tuple(sl)]
+            acc = term if acc is None else acc + term
+        x = acc.astype(x.dtype)
+    return x
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "weights", "origins", "modes", "cval", "interpret",
+    ),
+)
+def fused_separable_correlate(
+    x, weights, origins, modes, cval=0.0, interpret=False
+):
+    """Apply per-axis 1-D correlations in one fused Pallas pass.
+
+    Parameters
+    ----------
+    x : (S0, S1[, S2]) float array
+    weights : tuple of (tuple of float) or None, one per axis
+        Static filter taps (None = skip axis).
+    origins : tuple of int, per axis
+    modes : tuple of str, ndimage boundary mode per axis
+    cval : float
+    interpret : bool
+        Run in the Pallas interpreter (CPU testing).
+    """
+    ndim = x.ndim
+    dtype = x.dtype
+    shape = x.shape
+
+    # per-axis (lo, hi) boundary extension: scipy window convention
+    pads = []
+    halos = []
+    for ax in range(ndim):
+        w = weights[ax]
+        if w is None:
+            pads.append((0, 0))
+            halos.append(0)
+        else:
+            size = len(w)
+            lo = size // 2 + origins[ax]
+            hi = size - 1 - lo
+            if lo < 0 or hi < 0:
+                raise ValueError(
+                    "fused path requires in-window origins"
+                )
+            pads.append((lo, hi))
+            halos.append(size - 1)
+
+    # lane axis: halo'd extent rounded up to full 128-lane tiles
+    lane_lo, lane_hi = pads[-1]
+    lane = _round_up(shape[-1] + lane_lo + lane_hi, 128)
+    blocks = _choose_blocks(
+        shape, halos, lane, np.dtype(dtype).itemsize
+    )
+
+    # DMA slab extents: the sublane (second-to-last) dim of a sliced
+    # VMEM copy must be a multiple of 8 — round up and over-read
+    slabs = []
+    for ax, b in enumerate(blocks):
+        ext = b + halos[ax]
+        if ax == ndim - 2:
+            ext = _round_up(ext, 8)
+        slabs.append(ext)
+
+    # ONE combined pad: boundary extension + grid tail + lane
+    # alignment.  Tail values are never written to the output, so
+    # extending them with the boundary mode is harmless — a single
+    # jnp.pad materialization instead of one HBM round trip per axis.
+    grid = []
+    total_pads = list(pads)
+    for ax, b in enumerate(blocks):
+        g = math.ceil(shape[ax] / b)
+        grid.append(g)
+        target = (g - 1) * b + slabs[ax]
+        lo, hi = total_pads[ax]
+        total_pads[ax] = (lo, max(hi, target - shape[ax] - lo))
+    total_pads[-1] = (
+        lane_lo, lane_hi + lane - (shape[-1] + lane_lo + lane_hi)
+    )
+
+    active_modes = {
+        modes[ax]
+        for ax in range(ndim)
+        if total_pads[ax] != (0, 0)
+    }
+    max_rel_pad = max(
+        max(pd) / shape[ax] for ax, pd in enumerate(total_pads)
+    )
+    if len(active_modes) <= 1 and max_rel_pad < 1.0:
+        one_mode = active_modes.pop() if active_modes else "constant"
+        xp = boundary.pad(x, total_pads, one_mode, cval)
+    else:
+        xp = x
+        for ax in range(ndim):
+            if pads[ax] == (0, 0):
+                continue
+            pw = [(0, 0)] * ndim
+            pw[ax] = pads[ax]
+            xp = boundary.pad(xp, pw, modes[ax], cval)
+        tail = [
+            (0, tp[0] + tp[1] - pd[0] - pd[1])
+            for tp, pd in zip(total_pads, pads)
+        ]
+        if any(hi for _, hi in tail):
+            xp = jnp.pad(xp, tail)
+
+    if ndim == 3:
+        B0, B1 = blocks
+        kernel = _make_kernel_3d(
+            weights[0], weights[1], weights[2], shape[2],
+            B0, B1, slabs[0], slabs[1],
+        )
+        out = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct(
+                (grid[0] * B0, grid[1] * B1, shape[2]), dtype
+            ),
+            grid=(grid[0], grid[1]),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec(
+                (B0, B1, shape[2]),
+                lambda i, j: (i, j, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((2, slabs[0], slabs[1], lane), dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary", "arbitrary"),
+            ),
+            interpret=interpret,
+        )(xp)
+        out = out[: shape[0], : shape[1], : shape[2]]
+    else:
+        (B0,) = blocks
+        kernel = _make_kernel_2d(
+            weights[0], weights[1], shape[1], B0, slabs[0]
+        )
+        out = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct(
+                (grid[0] * B0, shape[1]), dtype
+            ),
+            grid=(grid[0],),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec(
+                (B0, shape[1]), lambda i: (i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((2, slabs[0], lane), dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+            ),
+            interpret=interpret,
+        )(xp)
+        out = out[: shape[0], : shape[1]]
+
+    return out

@@ -327,6 +327,47 @@ def convolve1d(
 # ---------------------------------------------------------------------------
 
 
+def _try_fused_separable(x, axes_params, out_dtype, cval_required=None):
+    """Route a chain of per-axis 1-d correlations to the fused Pallas
+    kernel (ops/pallas_stencil) when it applies: TPU backend, float
+    data, 2-/3-d, small static taps.  Returns None when the jnp path
+    should run instead."""
+    from cupyimg_tpu.ops import pallas_stencil as _ps
+
+    if np.dtype(out_dtype).kind != "f":
+        return None
+    if np.dtype(x.dtype).kind != "f" or np.dtype(x.dtype).itemsize > 4:
+        return None
+    weights = [None] * x.ndim
+    origins = [0] * x.ndim
+    modes = ["reflect"] * x.ndim
+    cvals = set()
+    for axis, w, mode, cval, origin in axes_params:
+        if w is None:
+            continue
+        if weights[axis] is not None:
+            return None  # two passes on one axis: not fusable
+        weights[axis] = tuple(float(v) for v in np.asarray(w))
+        origins[axis] = int(origin)
+        modes[axis] = mode
+        cvals.add(float(cval))
+    if len(cvals) > 1:
+        return None
+    if not _ps.supports(x, weights):
+        return None
+    try:
+        out = _ps.fused_separable_correlate(
+            x,
+            tuple(weights),
+            tuple(origins),
+            tuple(modes),
+            cvals.pop() if cvals else 0.0,
+        )
+    except Exception:  # pragma: no cover - fall back on any TPU quirk
+        return None
+    return out.astype(out_dtype)
+
+
 def _run_1d_filters(input, axes_params, output, dtype_mode):
     """Apply a chain of per-axis 1-d correlations (reference
     _filters_core.py:79-109 two-buffer driver; here functional chaining —
@@ -334,6 +375,9 @@ def _run_1d_filters(input, axes_params, output, dtype_mode):
     pass k writes into the output array read by pass k+1)."""
     x = jnp.asarray(input)
     out_dtype = dtypes.resolve_output_dtype(output, x.dtype)
+    fused = _try_fused_separable(x, axes_params, out_dtype)
+    if fused is not None:
+        return fused
     ran = False
     for axis, weights, mode, cval, origin in axes_params:
         if weights is None:
@@ -402,6 +446,19 @@ def uniform_filter(
     origins = util.fix_sequence_arg(origin, input.ndim, "origin", int)
     modes = util.fix_sequence_arg(mode, input.ndim, "mode", str)
     out_dtype = dtypes.resolve_output_dtype(output, input.dtype)
+    axes_params = [
+        (
+            ax,
+            np.full(sizes[ax], 1.0 / sizes[ax]) if sizes[ax] > 1 else None,
+            modes[ax],
+            cval,
+            origins[ax],
+        )
+        for ax in range(input.ndim)
+    ]
+    fused = _try_fused_separable(input, axes_params, out_dtype)
+    if fused is not None:
+        return fused
     x = input
     ran = False
     for axis in range(input.ndim):

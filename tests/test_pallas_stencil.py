@@ -1,0 +1,110 @@
+"""Fused separable Pallas stencil tests (interpreter mode on CPU)."""
+
+import numpy as np
+import pytest
+import scipy.ndimage as sndi
+
+import jax
+import jax.numpy as jnp
+
+from cupyimg_tpu.ops.pallas_stencil import (
+    fused_separable_correlate,
+    supports,
+)
+
+UNIFORM5 = tuple([1.0 / 5] * 5)
+
+
+def _run(x, weights, origins, modes, cval=0.0):
+    return np.asarray(
+        fused_separable_correlate(
+            jnp.asarray(x), weights, origins, modes, cval,
+            interpret=True,
+        )
+    )
+
+
+class TestFusedSeparable:
+    @pytest.mark.parametrize(
+        "mode", ["reflect", "nearest", "mirror", "wrap", "constant"]
+    )
+    def test_uniform3d_modes(self, mode):
+        x = np.random.RandomState(0).rand(24, 20, 40).astype(
+            np.float32
+        )
+        got = _run(
+            x, (UNIFORM5,) * 3, (0, 0, 0), (mode,) * 3, cval=0.5
+        )
+        exp = sndi.uniform_filter(
+            x.astype(np.float64), 5, mode=mode, cval=0.5
+        )
+        np.testing.assert_allclose(got, exp, atol=2e-6)
+
+    def test_gaussian2d(self):
+        g = np.exp(-0.5 * np.arange(-3, 4) ** 2 / 1.5)
+        g /= g.sum()
+        x = np.random.RandomState(1).rand(40, 52).astype(np.float32)
+        got = _run(
+            x, (tuple(g), tuple(g)), (0, 0), ("nearest", "nearest")
+        )
+        exp = sndi.correlate1d(
+            sndi.correlate1d(
+                x.astype(np.float64), g, axis=0, mode="nearest"
+            ),
+            g, axis=1, mode="nearest",
+        )
+        np.testing.assert_allclose(got, exp, atol=2e-6)
+
+    def test_skip_axis_and_origin(self):
+        wa = (0.1, 0.5, 0.3, 0.1)
+        x = np.random.RandomState(2).rand(30, 20, 40).astype(
+            np.float32
+        )
+        got = _run(
+            x, (wa, None, wa), (0, 0, 1), ("reflect",) * 3
+        )
+        exp = sndi.correlate1d(
+            sndi.correlate1d(
+                x.astype(np.float64), np.asarray(wa), axis=0,
+                mode="reflect",
+            ),
+            np.asarray(wa), axis=2, mode="reflect", origin=1,
+        )
+        np.testing.assert_allclose(got, exp, atol=2e-6)
+
+    def test_mixed_modes(self):
+        x = np.random.RandomState(3).rand(32, 48).astype(np.float32)
+        got = _run(
+            x, (UNIFORM5, UNIFORM5), (0, 0), ("reflect", "wrap")
+        )
+        exp = sndi.correlate1d(
+            sndi.correlate1d(
+                x.astype(np.float64), np.full(5, 0.2), axis=0,
+                mode="reflect",
+            ),
+            np.full(5, 0.2), axis=1, mode="wrap",
+        )
+        np.testing.assert_allclose(got, exp, atol=2e-6)
+
+    def test_non_divisible_shapes(self):
+        x = np.random.RandomState(4).rand(19, 23, 37).astype(
+            np.float32
+        )
+        got = _run(x, (UNIFORM5,) * 3, (0, 0, 0), ("mirror",) * 3)
+        exp = sndi.uniform_filter(
+            x.astype(np.float64), 5, mode="mirror"
+        )
+        np.testing.assert_allclose(got, exp, atol=2e-6)
+
+    def test_supports_gating(self):
+        big = jnp.zeros((256, 256, 256), jnp.float32)
+        w = (UNIFORM5,) * 3
+        # on CPU the fused path must decline (bench tier is TPU-only)
+        if jax.default_backend() != "tpu":
+            assert not supports(big, w)
+        assert not supports(jnp.zeros((8, 8), jnp.float32), w[:2])
+        assert not supports(
+            jnp.zeros((256, 256, 256), jnp.int32), w
+        )
+        assert not supports(jnp.zeros((2, 2, 2, 2), jnp.float32),
+                            (None,) * 4)
