@@ -31,7 +31,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from cupyimg_tpu.core import boundary
 
-__all__ = ["fused_separable_correlate", "supports"]
+__all__ = [
+    "fused_separable_correlate",
+    "fused_separable_minmax",
+    "supports",
+]
 
 # per-block VMEM budget (bytes) used to choose block sizes
 _VMEM_BUDGET = 5 * 1024 * 1024 // 4
@@ -83,6 +87,22 @@ def _choose_blocks(shape, halos, lane, itemsize):
     return [b0, b1]
 
 
+def _axis_apply(spec, get_slice):
+    """Apply one axis's 1-D operation over shifted slices.
+
+    ``spec`` is ('corr', taps) for weighted correlation or
+    ('min'|'max', size) for a running extremum (separable morphology).
+    """
+    kind, arg = spec
+    if kind == "corr":
+        return _axis_corr(arg, get_slice)
+    op = jnp.minimum if kind == "min" else jnp.maximum
+    acc = get_slice(0)
+    for k in range(1, arg):
+        acc = op(acc, get_slice(k))
+    return acc
+
+
 def _axis_corr(w, get_slice):
     """Emit the 1-D correlation sum, exploiting equal or symmetric taps
     to cut VPU multiplies (the kernel is compute-bound on the VPU for
@@ -108,7 +128,7 @@ def _axis_corr(w, get_slice):
     return acc
 
 
-def _make_kernel_3d(w0, w1, w2, S2, B0, B1, sl0, sl1):
+def _make_kernel_3d(sp0, sp1, sp2, S2, B0, B1, sl0, sl1):
     def kernel(x_any, out_ref, slab, sem):
         # double-buffered halo'd slab loads: kick off the next grid
         # step's DMA before waiting on this step's
@@ -147,23 +167,23 @@ def _make_kernel_3d(w0, w1, w2, S2, B0, B1, sl0, sl1):
 
         x = slab[slot]
         acc = (
-            _axis_corr(w0, lambda k: x[k : k + B0])
-            if w0 is not None else x
+            _axis_apply(sp0, lambda k: x[k : k + B0])
+            if sp0 is not None else x
         )
         acc1 = (
-            _axis_corr(w1, lambda k: acc[:, k : k + B1])
-            if w1 is not None else acc
+            _axis_apply(sp1, lambda k: acc[:, k : k + B1])
+            if sp1 is not None else acc
         )
         out = (
-            _axis_corr(w2, lambda k: acc1[:, :, k : k + S2])
-            if w2 is not None else acc1
+            _axis_apply(sp2, lambda k: acc1[:, :, k : k + S2])
+            if sp2 is not None else acc1
         )
         out_ref[:] = out.astype(out_ref.dtype)
 
     return kernel
 
 
-def _make_kernel_2d(w0, w1, S1, B0, sl0):
+def _make_kernel_2d(sp0, sp1, S1, B0, sl0):
     def kernel(x_any, out_ref, slab, sem):
         t = jnp.asarray(pl.program_id(0), jnp.int32)
         n_t = jnp.asarray(pl.num_programs(0), jnp.int32)
@@ -190,12 +210,12 @@ def _make_kernel_2d(w0, w1, S1, B0, sl0):
 
         x = slab[slot]
         acc = (
-            _axis_corr(w0, lambda k: x[k : k + B0])
-            if w0 is not None else x
+            _axis_apply(sp0, lambda k: x[k : k + B0])
+            if sp0 is not None else x
         )
         out = (
-            _axis_corr(w1, lambda k: acc[:, k : k + S1])
-            if w1 is not None else acc
+            _axis_apply(sp1, lambda k: acc[:, k : k + S1])
+            if sp1 is not None else acc
         )
         out_ref[:] = out.astype(out_ref.dtype)
 
@@ -224,12 +244,6 @@ def _jnp_separable(x, weights, origins, modes, cval):
     return x
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "weights", "origins", "modes", "cval", "interpret",
-    ),
-)
 def fused_separable_correlate(
     x, weights, origins, modes, cval=0.0, interpret=False
 ):
@@ -246,6 +260,44 @@ def fused_separable_correlate(
     interpret : bool
         Run in the Pallas interpreter (CPU testing).
     """
+    specs = tuple(
+        None if w is None else ("corr", tuple(float(v) for v in w))
+        for w in weights
+    )
+    return _fused_separable(
+        x, specs, tuple(origins), tuple(modes), float(cval),
+        bool(interpret),
+    )
+
+
+def fused_separable_minmax(
+    x, sizes, origins, modes, cval=0.0, is_min=True, interpret=False
+):
+    """Separable box min/max filter in one fused Pallas pass
+    (the erosion/dilation analog of :func:`fused_separable_correlate`;
+    SURVEY.md N2's separable min/max option)."""
+    kind = "min" if is_min else "max"
+    specs = tuple(
+        None if (sz is None or sz <= 1) else (kind, int(sz))
+        for sz in sizes
+    )
+    return _fused_separable(
+        x, specs, tuple(origins), tuple(modes), float(cval),
+        bool(interpret),
+    )
+
+
+def _spec_size(spec):
+    return len(spec[1]) if spec[0] == "corr" else spec[1]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "specs", "origins", "modes", "cval", "interpret",
+    ),
+)
+def _fused_separable(x, specs, origins, modes, cval, interpret):
     ndim = x.ndim
     dtype = x.dtype
     shape = x.shape
@@ -254,12 +306,12 @@ def fused_separable_correlate(
     pads = []
     halos = []
     for ax in range(ndim):
-        w = weights[ax]
-        if w is None:
+        spec = specs[ax]
+        if spec is None:
             pads.append((0, 0))
             halos.append(0)
         else:
-            size = len(w)
+            size = _spec_size(spec)
             lo = size // 2 + origins[ax]
             hi = size - 1 - lo
             if lo < 0 or hi < 0:
@@ -330,7 +382,7 @@ def fused_separable_correlate(
     if ndim == 3:
         B0, B1 = blocks
         kernel = _make_kernel_3d(
-            weights[0], weights[1], weights[2], shape[2],
+            specs[0], specs[1], specs[2], shape[2],
             B0, B1, slabs[0], slabs[1],
         )
         out = pl.pallas_call(
@@ -358,7 +410,7 @@ def fused_separable_correlate(
     else:
         (B0,) = blocks
         kernel = _make_kernel_2d(
-            weights[0], weights[1], shape[1], B0, slabs[0]
+            specs[0], specs[1], shape[1], B0, slabs[0]
         )
         out = pl.pallas_call(
             kernel,

@@ -771,7 +771,33 @@ def _min_or_max_filter(
     # and it does so itself before reaching this driver.
 
     if footprint is None and structure is None:
-        # separable rectangle: per-axis 1-d running min/max
+        # separable rectangle: fused Pallas pass on TPU, else per-axis
+        # 1-d running min/max
+        from cupyimg_tpu.ops import pallas_stencil as _ps
+
+        if (
+            np.dtype(input.dtype).kind == "f"
+            and len(set(float(cval) for _ in [0])) == 1
+            and _ps.supports(
+                input,
+                [
+                    (1.0,) * sz if sz > 1 else None
+                    for sz in sizes
+                ],
+            )
+        ):
+            try:
+                out = _ps.fused_separable_minmax(
+                    input,
+                    tuple(sizes),
+                    tuple(int(o) for o in origins),
+                    tuple(modes),
+                    float(cval),
+                    bool(is_min),
+                )
+                return out.astype(out_dtype)
+            except Exception:  # pragma: no cover - TPU quirk fallback
+                pass
         x = input
         for axis in range(input.ndim):
             if sizes[axis] > 1:

@@ -108,3 +108,61 @@ class TestFusedSeparable:
         )
         assert not supports(jnp.zeros((2, 2, 2, 2), jnp.float32),
                             (None,) * 4)
+
+
+class TestFusedMinMax:
+    @pytest.mark.parametrize("is_min", [True, False])
+    @pytest.mark.parametrize("mode", ["reflect", "nearest", "constant"])
+    def test_3d_box(self, is_min, mode):
+        from cupyimg_tpu.ops.pallas_stencil import (
+            fused_separable_minmax,
+        )
+
+        x = np.random.RandomState(0).rand(24, 20, 40).astype(
+            np.float32
+        )
+        got = np.asarray(
+            fused_separable_minmax(
+                jnp.asarray(x), (3, 5, 3), (0, 0, 0), (mode,) * 3,
+                cval=0.5, is_min=is_min, interpret=True,
+            )
+        )
+        f = sndi.minimum_filter if is_min else sndi.maximum_filter
+        exp = f(x, size=(3, 5, 3), mode=mode, cval=0.5)
+        np.testing.assert_array_equal(got, exp)
+
+    def test_2d_with_origin(self):
+        from cupyimg_tpu.ops.pallas_stencil import (
+            fused_separable_minmax,
+        )
+
+        x = np.random.RandomState(1).rand(40, 52).astype(np.float32)
+        got = np.asarray(
+            fused_separable_minmax(
+                jnp.asarray(x), (5, 5), (1, -1), ("mirror",) * 2,
+                is_min=False, interpret=True,
+            )
+        )
+        exp = sndi.maximum_filter(
+            x, size=5, mode="mirror", origin=(1, -1)
+        )
+        np.testing.assert_array_equal(got, exp)
+
+    def test_skip_axis(self):
+        from cupyimg_tpu.ops.pallas_stencil import (
+            fused_separable_minmax,
+        )
+
+        x = np.random.RandomState(2).rand(24, 20, 40).astype(
+            np.float32
+        )
+        got = np.asarray(
+            fused_separable_minmax(
+                jnp.asarray(x), (3, None, 3), (0, 0, 0),
+                ("reflect",) * 3, interpret=True,
+            )
+        )
+        exp = sndi.minimum_filter(
+            x, size=(3, 1, 3), mode="reflect"
+        )
+        np.testing.assert_array_equal(got, exp)
