@@ -1,0 +1,178 @@
+#!/usr/bin/env python
+"""Extended benchmark suite over the BASELINE.md config groups.
+
+Prints one JSON line per case. Shape-preserving ops are timed with the
+slope method (iterated inside one jitted ``lax.fori_loop`` at two trip
+counts; the slope removes relay/sync overhead — the same quantity the
+reference's CUDA-event ``repeat`` measures). Non-shape-preserving ops are
+timed warm with ``block_until_ready`` minus the measured relay sync floor.
+
+The driver-facing headline stays in ``bench.py``; this file is the
+breadth evidence (separable, morphology/rank, interpolation, FFT/signal,
+registration groups).
+"""
+
+import functools
+import json
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def _slope_ms(fn, x, n1=4, n2=24, reps=3):
+    @functools.partial(jax.jit, static_argnums=1)
+    def many(v, n):
+        return lax.fori_loop(0, n, lambda i, acc: fn(acc), v)
+
+    def timed(n):
+        t0 = time.perf_counter()
+        jax.block_until_ready(many(x, n))
+        return (time.perf_counter() - t0) * 1e3
+
+    timed(n1)
+    timed(n2)
+    slopes = []
+    for _ in range(reps):
+        t1 = timed(n1)
+        t2 = timed(n2)
+        slopes.append((t2 - t1) / (n2 - n1))
+    return float(np.median(slopes))
+
+
+_SYNC_FLOOR = None
+
+
+def _sync_floor_ms():
+    global _SYNC_FLOOR
+    if _SYNC_FLOOR is None:
+        z = jnp.zeros(8)
+        ts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            float(jnp.sum(z))
+            ts.append((time.perf_counter() - t0) * 1e3)
+        _SYNC_FLOOR = float(np.median(ts))
+    return _SYNC_FLOOR
+
+
+def _warm_ms(fn, reps=5):
+    fn()  # compile
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn())
+        ts.append((time.perf_counter() - t0) * 1e3)
+    return max(0.0, float(np.median(ts)) - _sync_floor_ms())
+
+
+def emit(name, ms, nbytes=None):
+    rec = {"metric": name, "value": round(ms, 4), "unit": "ms"}
+    if nbytes:
+        rec["GBps"] = round(nbytes / 1e9 / (ms / 1e3), 1)
+    print(json.dumps(rec), flush=True)
+
+
+def main():
+    import cupyimg_tpu.scipy.ndimage as ndi
+    import cupyimg_tpu.scipy.signal as signal
+    import cupyimg_tpu.skimage.registration as registration
+    import cupyimg_tpu.skimage.restoration as restoration
+
+    rng = np.random.RandomState(0)
+    vol = jnp.asarray(rng.randn(256, 256, 256).astype(np.float32))
+    img = jnp.asarray(rng.randn(4096, 4096).astype(np.float32))
+    nb3 = vol.size * 4 * 2
+    nb2 = img.size * 4 * 2
+
+    # --- separable suite -------------------------------------------------
+    emit("uniform_3d_256c_s5",
+         _slope_ms(lambda v: ndi.uniform_filter(v, 5), vol), nb3)
+    emit("gaussian_3d_256c_sig2",
+         _slope_ms(lambda v: ndi.gaussian_filter(v, 2.0), vol), nb3)
+    emit("sobel_3d_256c",
+         _slope_ms(lambda v: ndi.sobel(v, axis=0), vol), nb3)
+    emit("uniform_2d_4096_s7",
+         _slope_ms(lambda v: ndi.uniform_filter(v, 7), img), nb2)
+    emit("gaussian_2d_4096_sig3",
+         _slope_ms(lambda v: ndi.gaussian_filter(v, 3.0), img), nb2)
+    emit("prewitt_2d_4096",
+         _slope_ms(lambda v: ndi.prewitt(v, axis=0), img), nb2)
+    emit("laplace_2d_4096",
+         _slope_ms(lambda v: ndi.laplace(v), img), nb2)
+
+    # --- morphology + rank suite -----------------------------------------
+    emit("minimum_3d_256c_s5",
+         _slope_ms(lambda v: ndi.minimum_filter(v, 5), vol), nb3)
+    emit("maximum_2d_4096_s9",
+         _slope_ms(lambda v: ndi.maximum_filter(v, 9), img), nb2)
+    emit("median_2d_4096_s3",
+         _slope_ms(lambda v: ndi.median_filter(v, 3), img), nb2)
+    emit("median_2d_4096_s5",
+         _slope_ms(lambda v: ndi.median_filter(v, 5), img), nb2)
+    bin_img = img > 0
+    emit("binary_erosion_2d_4096",
+         _slope_ms(lambda v: ndi.binary_erosion(v), bin_img), nb2 // 4)
+    emit("grey_erosion_2d_4096_s5",
+         _slope_ms(lambda v: ndi.grey_erosion(v, size=5), img), nb2)
+
+    # --- interpolation / warping suite ------------------------------------
+    mat = np.array([[0.9, 0.1], [-0.1, 0.9]], np.float32)
+    for order in (0, 1, 3):
+        emit(
+            f"affine_2d_4096_order{order}",
+            _slope_ms(
+                lambda v, o=order: ndi.affine_transform(
+                    v, mat, order=o, mode="nearest", prefilter=False
+                ),
+                img,
+            ),
+            nb2,
+        )
+    emit("zoom_keep_2d_4096_order1",
+         _warm_ms(lambda: ndi.zoom(img, 1.0, order=1)))
+    emit("spline_filter_2d_4096_ord3",
+         _slope_ms(lambda v: ndi.spline_filter(v, order=3), img), nb2)
+    emit("map_coords_3d_128c_order1",
+         _warm_ms(lambda: ndi.map_coordinates(
+             vol[:128, :128, :128],
+             jnp.mgrid[0:128, 0:128, 0:128].astype(jnp.float32),
+             order=1,
+         )))
+
+    # --- FFT / signal suite ------------------------------------------------
+    k2 = jnp.asarray(rng.randn(31, 31).astype(np.float32))
+    emit("fftconvolve_2d_4096_k31",
+         _slope_ms(lambda v: signal.fftconvolve(v, k2, mode="same"),
+                   img), nb2)
+    emit("oaconvolve_2d_4096_k31",
+         _slope_ms(lambda v: signal.oaconvolve(v, k2, mode="same"),
+                   img), nb2)
+    sig = jnp.asarray(rng.randn(1 << 20).astype(np.float32))
+    h = jnp.asarray(rng.randn(101).astype(np.float32))
+    emit("upfirdn_1M_h101_up2_down3",
+         _warm_ms(lambda: signal.upfirdn(h, sig, up=2, down=3)))
+    emit("resample_poly_1M_2_3",
+         _warm_ms(lambda: signal.resample_poly(sig, 2, 3)))
+
+    # --- registration / restoration suite ---------------------------------
+    a = jnp.asarray(rng.randn(1024, 1024).astype(np.float32))
+    b = jnp.roll(a, (5, -3), axis=(0, 1))
+    emit("phase_cross_corr_1024_up10",
+         _warm_ms(lambda: registration.phase_cross_correlation(
+             a, b, upsample_factor=10)[0]))
+    psf = jnp.ones((5, 5), jnp.float32) / 25
+    small = jnp.clip(a[:512, :512] * 0.1 + 0.5, 0, 1)
+    emit("richardson_lucy_512_it10",
+         _warm_ms(lambda: restoration.richardson_lucy(
+             small, psf, iterations=10, clip=False)))
+    emit("wiener_hunt_1024",
+         _warm_ms(lambda: restoration.wiener(a, psf, 0.1, clip=False)))
+
+    print(json.dumps({"sync_floor_ms": round(_sync_floor_ms(), 3)}))
+
+
+if __name__ == "__main__":
+    main()

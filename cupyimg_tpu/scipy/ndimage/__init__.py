@@ -3,7 +3,9 @@
 Mirrors reference cupyimg/scipy/ndimage/__init__.py exports.
 """
 
-from cupyimg_tpu.scipy.ndimage.filters import (  # noqa: F401
+from cupyimg_tpu.scipy.ndimage.filters import (
+    generic_filter,
+    generic_filter1d,  # noqa: F401
     correlate,
     convolve,
     correlate1d,

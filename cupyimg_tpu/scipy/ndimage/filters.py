@@ -17,6 +17,7 @@ Differences from the reference driven by the functional JAX model:
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from cupyimg_tpu.core import boundary, dtypes, util
@@ -24,6 +25,8 @@ from cupyimg_tpu.core.config import config
 from cupyimg_tpu.ops import stencil
 
 __all__ = [
+    "generic_filter",
+    "generic_filter1d",
     "correlate",
     "convolve",
     "correlate1d",
@@ -966,3 +969,114 @@ def percentile_filter(
     return _rank_filter(
         input, get_rank, size, footprint, output, mode, cval, origin
     )
+
+
+# ---------------------------------------------------------------------------
+# generic filters (absent in the reference — filters.py:62 leaves them as a
+# TODO because CUDA kernels cannot call back into Python; with tracing they
+# come for free: the callback must be jnp-traceable)
+# ---------------------------------------------------------------------------
+
+
+def generic_filter(
+    input,
+    function,
+    size=None,
+    footprint=None,
+    output=None,
+    mode="reflect",
+    cval=0.0,
+    origin=0,
+    extra_arguments=(),
+    extra_keywords=None,
+):
+    """Multidimensional filter with a user-supplied window reduction.
+
+    scipy parity, with the TPU-native contract that ``function`` operates
+    on a 1-d jnp array of the footprint values and must be traceable
+    (pure jnp ops — it is vmapped over every window, so Python-side
+    side effects and host callbacks are not supported).
+    """
+    if extra_keywords is None:
+        extra_keywords = {}
+    input = jnp.asarray(input)
+    footprint, sizes = _get_footprint(
+        input, size, footprint, allow_separable=False
+    )
+    if footprint is None:
+        footprint = np.ones(tuple(sizes), bool)
+    origins = util.fix_sequence_arg(origin, input.ndim, "origin", int)
+    for o, w in zip(origins, footprint.shape):
+        util.check_origin(o, w)
+    boundary.check_mode(mode)
+    out_dtype = dtypes.resolve_output_dtype(output, input.dtype)
+
+    taps, pad_width = stencil.footprint_offsets(footprint, origins)
+    xp = boundary.pad(input, pad_width, mode, cval)
+    windows = jnp.stack(
+        [
+            xp[tuple(slice(o, o + n) for o, n in zip(off, input.shape))]
+            for off in taps
+        ],
+        axis=-1,
+    )
+    flat = windows.reshape(-1, len(taps))
+
+    def apply_fn(w):
+        return function(w, *extra_arguments, **extra_keywords)
+
+    out = jax.vmap(apply_fn)(flat)
+    return out.reshape(input.shape).astype(out_dtype)
+
+
+def generic_filter1d(
+    input,
+    function,
+    filter_size,
+    axis=-1,
+    output=None,
+    mode="reflect",
+    cval=0.0,
+    origin=0,
+    extra_arguments=(),
+    extra_keywords=None,
+):
+    """1-d generic filter along ``axis`` (scipy parity).
+
+    ``function`` receives the boundary-extended input line (length
+    ``line + filter_size - 1``) and must return the filtered line of the
+    original length — the functional analog of scipy's in-place
+    ``(iline, oline)`` callback contract.  It is vmapped over lines and
+    must be jnp-traceable.
+    """
+    if extra_keywords is None:
+        extra_keywords = {}
+    input = jnp.asarray(input)
+    if filter_size < 1:
+        raise RuntimeError("invalid filter size")
+    axis = util.check_axis(axis, input.ndim)
+    util.check_origin(origin, filter_size)
+    boundary.check_mode(mode)
+    out_dtype = dtypes.resolve_output_dtype(output, input.dtype)
+
+    size = int(filter_size)
+    lo = size // 2 + int(origin)
+    hi = size - 1 - lo
+    pad_width = [(0, 0)] * input.ndim
+    pad_width[axis] = (lo, hi)
+    xp = boundary.pad(input, pad_width, mode, cval)
+
+    moved = jnp.moveaxis(xp, axis, -1)
+    lines = moved.reshape(-1, moved.shape[-1])
+
+    def apply_fn(iline):
+        return function(iline, *extra_arguments, **extra_keywords)
+
+    out = jax.vmap(apply_fn)(lines)
+    n = input.shape[axis]
+    if out.shape[-1] != n:
+        raise RuntimeError(
+            "function must return lines of the original length"
+        )
+    out = out.reshape(moved.shape[:-1] + (n,))
+    return jnp.moveaxis(out, -1, axis).astype(out_dtype)
