@@ -29,7 +29,9 @@ def _slope_ms(fn, x, n1=4, n2=24, reps=3):
 
     def timed(n):
         t0 = time.perf_counter()
-        jax.block_until_ready(many(x, n))
+        # scalar readback: block_until_ready returns early through the
+        # dev relay (see bench.py), a host transfer does not
+        float(many(x, n).ravel()[0])
         return (time.perf_counter() - t0) * 1e3
 
     timed(n1)
@@ -58,12 +60,18 @@ def _sync_floor_ms():
     return _SYNC_FLOOR
 
 
+def _readback(out):
+    leaves = jax.tree_util.tree_leaves(out)
+    for leaf in leaves:
+        float(jnp.real(jnp.asarray(leaf)).ravel()[0])
+
+
 def _warm_ms(fn, reps=5):
-    fn()  # compile
+    _readback(fn())  # compile
     ts = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn())
+        _readback(fn())
         ts.append((time.perf_counter() - t0) * 1e3)
     return max(0.0, float(np.median(ts)) - _sync_floor_ms())
 

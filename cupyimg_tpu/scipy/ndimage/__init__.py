@@ -105,3 +105,9 @@ def get_raw_spline1d_kernel(order, mode):
         )
 
     return kernel
+
+from cupyimg_tpu.scipy.ndimage._distance_transform import (  # noqa: F401,E402
+    distance_transform_edt,
+    distance_transform_cdt,
+    distance_transform_bf,
+)
