@@ -129,16 +129,30 @@ def main():
     # --- interpolation / warping suite ------------------------------------
     mat = np.array([[0.9, 0.1], [-0.1, 0.9]], np.float32)
     for order in (0, 1, 3):
+        # rotation-like affine is gather-bound; warm timing (the slope
+        # loop at this cost compiles too long)
         emit(
             f"affine_2d_4096_order{order}",
-            _slope_ms(
-                lambda v, o=order: ndi.affine_transform(
-                    v, mat, order=o, mode="nearest", prefilter=False
+            _warm_ms(
+                lambda o=order: ndi.affine_transform(
+                    img, mat, order=o, mode="nearest", prefilter=False
                 ),
-                img,
+                reps=3,
             ),
             nb2,
         )
+    # diagonal affine hits the separable fast path
+    dmat = np.array([[1.1, 0.0], [0.0, 0.9]], np.float32)
+    emit(
+        "affine_diag_2d_4096_order1",
+        _warm_ms(
+            lambda: ndi.affine_transform(
+                img, dmat, order=1, mode="nearest", prefilter=False
+            ),
+            reps=3,
+        ),
+        nb2,
+    )
     emit("zoom_keep_2d_4096_order1",
          _warm_ms(lambda: ndi.zoom(img, 1.0, order=1)))
     emit("spline_filter_2d_4096_ord3",
@@ -154,10 +168,10 @@ def main():
     k2 = jnp.asarray(rng.randn(31, 31).astype(np.float32))
     emit("fftconvolve_2d_4096_k31",
          _slope_ms(lambda v: signal.fftconvolve(v, k2, mode="same"),
-                   img), nb2)
+                   img, n1=2, n2=8), nb2)
     emit("oaconvolve_2d_4096_k31",
          _slope_ms(lambda v: signal.oaconvolve(v, k2, mode="same"),
-                   img), nb2)
+                   img, n1=2, n2=8), nb2)
     sig = jnp.asarray(rng.randn(1 << 20).astype(np.float32))
     h = jnp.asarray(rng.randn(101).astype(np.float32))
     emit("upfirdn_1M_h101_up2_down3",

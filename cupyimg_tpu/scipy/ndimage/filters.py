@@ -896,9 +896,10 @@ def _rank_filter(
     """Shared rank-filter driver (reference filters.py:1712-1848).
 
     The reference specializes CUDA sorting networks per footprint size
-    (_filters_optimal_medians.py); here windows are gathered into a stacked
-    axis and XLA's sort handles selection — the Pallas rank kernel replaces
-    this on TPU for large volumes (see ops/).
+    (_filters_optimal_medians.py); here small footprints (<= 64 taps) run
+    a rank-pruned Batcher network as a fused min/max DAG over shifted
+    slices (ops/sorting_networks.py), larger footprints fall back to a
+    stacked XLA sort.
     """
     input = jnp.asarray(input)
     footprint, sizes = _get_footprint(input, size, footprint,
@@ -924,6 +925,20 @@ def _rank_filter(
         return _min_or_max_filter(
             input, None, footprint, None, output, mode, cval, origins, False
         )
+    if filter_size <= 64:
+        # pruned sorting network over shifted slices: XLA fuses the
+        # min/max DAG into one elementwise pass, no window tensor and
+        # no generic sort (the reference's median-network strategy,
+        # _filters_optimal_medians.py / SURVEY.md C9)
+        from cupyimg_tpu.ops.sorting_networks import rank_select
+
+        taps, pad_width = stencil.footprint_offsets(footprint, origins)
+        xp = boundary.pad(input, pad_width, mode, cval)
+        vals = [
+            xp[tuple(slice(o, o + n) for o, n in zip(off, input.shape))]
+            for off in taps
+        ]
+        return rank_select(vals, rank).astype(out_dtype)
     windows = stencil.gather_windows(input, footprint, origins, mode, cval)
     sorted_w = jnp.sort(windows, axis=0)
     return sorted_w[rank].astype(out_dtype)

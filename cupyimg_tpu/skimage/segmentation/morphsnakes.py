@@ -12,6 +12,7 @@ import functools
 from itertools import cycle
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from cupyimg_tpu.scipy import ndimage as ndi
@@ -90,6 +91,29 @@ def inf_sup(u):
 _curvop = _fcycle(
     [lambda u: sup_inf(inf_sup(u)), lambda u: inf_sup(sup_inf(u))]
 )
+
+
+def _curvop_parity(u, parity):
+    """Alternating SIoIS / ISoSI keyed by an explicit (traced) parity,
+    so the smoothing schedule stays jittable."""
+    from jax import lax as _lax
+
+    return _lax.cond(
+        parity == 0,
+        lambda v: sup_inf(inf_sup(v)),
+        lambda v: inf_sup(sup_inf(v)),
+        u,
+    )
+
+
+def _is_noop_callback(cb):
+    try:
+        return (
+            getattr(cb, "__name__", "") == "<lambda>"
+            and cb.__code__.co_code == (lambda x: None).__code__.co_code
+        )
+    except Exception:
+        return False
 
 
 def _check_input(image, init_level_set):
@@ -182,7 +206,7 @@ def morphological_chan_vese(
     u = (jnp.asarray(init_level_set) > 0).astype(np.int8)
     iter_callback(u)
 
-    for _ in range(iterations):
+    def step(u, parity):
         uf = u.astype(image.dtype)
         c0 = (image * (1 - uf)).sum() / ((1 - uf).sum() + 1e-8)
         c1 = (image * uf).sum() / (uf.sum() + 1e-8)
@@ -198,8 +222,29 @@ def morphological_chan_vese(
         u = jnp.where(aux > 0, np.int8(0), u)
 
         for _ in range(smoothing):
-            u = _curvop(u)
+            u = _curvop_parity(u, parity)
+            parity = (parity + 1) % 2
+        return u, parity
 
+    # default callback (a no-op lambda): run every iteration inside one
+    # jitted fori_loop — a single dispatch instead of dozens per step
+    is_noop = _is_noop_callback(iter_callback)
+    if is_noop and iterations > 0:
+        from jax import lax as _lax
+
+        def body(_, carry):
+            return step(*carry)
+
+        u, _ = jax.jit(
+            lambda u0: _lax.fori_loop(
+                0, iterations, body, (u0, jnp.int32(0))
+            )
+        )(u)
+        return u
+
+    parity = jnp.int32(0)
+    for _ in range(iterations):
+        u, parity = step(u, parity)
         iter_callback(u)
 
     return u
@@ -231,7 +276,7 @@ def morphological_geodesic_active_contour(
     u = (jnp.asarray(init_level_set) > 0).astype(np.int8)
     iter_callback(u)
 
-    for _ in range(iterations):
+    def step(u, parity):
         # Balloon
         if balloon > 0:
             aux_b = ndi.binary_dilation(u, structure)
@@ -249,8 +294,26 @@ def morphological_geodesic_active_contour(
         u = jnp.where(aux < 0, np.int8(0), u)
 
         for _ in range(smoothing):
-            u = _curvop(u)
+            u = _curvop_parity(u, parity)
+            parity = (parity + 1) % 2
+        return u, parity
 
+    if _is_noop_callback(iter_callback) and iterations > 0:
+        from jax import lax as _lax
+
+        def body(_, carry):
+            return step(*carry)
+
+        u, _ = jax.jit(
+            lambda u0: _lax.fori_loop(
+                0, iterations, body, (u0, jnp.int32(0))
+            )
+        )(u)
+        return u
+
+    parity = jnp.int32(0)
+    for _ in range(iterations):
+        u, parity = step(u, parity)
         iter_callback(u)
 
     return u
