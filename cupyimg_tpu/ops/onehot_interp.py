@@ -1,0 +1,265 @@
+"""General 2-D affine resampling as blocked one-hot MXU contractions.
+
+XLA's dense gather runs at well under 1 GB/s on TPU for per-point 2-D
+indices, which makes rotation-like ``affine_transform`` gather-bound
+(~200 ms per tap on a 4096^2 image).  This module re-expresses the same
+tap-weighted sum as matrix algebra the MXU executes natively:
+
+- the output is processed in BxB blocks (a ``lax.scan``);
+- a block's source coordinates are affine, so they live in a static-size
+  bounding box that is ``dynamic_slice``d into registers;
+- the row taps fold into a one-hot weight matrix W[(i,j), s0] (built by
+  iota comparison) and apply as ONE matmul per block;
+- the column taps fold into a second one-hot and contract elementwise.
+
+Precision: matmuls run at ``Precision.HIGHEST`` so results match the
+plain gather path bit-for-bit-ish (same f32 tap arithmetic; the bf16
+default would quantize the interpolation weights).
+
+Boundary handling: the input is pre-extended by the transform's maximum
+excursion with the ndimage mode, so in-kernel coordinates are always
+in-bounds; legacy 'constant' applies its outer cval mask afterwards.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from cupyimg_tpu.core import boundary
+from cupyimg_tpu.ops.interp import spline_weights
+from cupyimg_tpu.ops.iir import get_spline_mode
+
+__all__ = ["affine_onehot_2d", "supports_affine"]
+
+_BLOCK = 128
+_MAX_SRC = 512  # per-block source bbox edge cap
+
+
+def _excursion(matrix, offset, out_shape, in_shape, margin):
+    """Static per-axis (lo, hi) padding covering every source coord."""
+    corners = np.array(
+        [
+            [0, 0],
+            [0, out_shape[1] - 1],
+            [out_shape[0] - 1, 0],
+            [out_shape[0] - 1, out_shape[1] - 1],
+        ],
+        dtype=np.float64,
+    )
+    src = corners @ matrix.T + offset
+    pads = []
+    for ax in range(2):
+        lo = max(0, int(math.ceil(-src[:, ax].min())) + margin)
+        hi = max(
+            0,
+            int(math.ceil(src[:, ax].max() - (in_shape[ax] - 1)))
+            + margin,
+        )
+        pads.append((lo, hi))
+    return pads
+
+
+def supports_affine(x, matrix, order):
+    """Whether the one-hot MXU path applies."""
+    if jax.default_backend() != "tpu":
+        return False
+    if x.ndim != 2 or np.dtype(x.dtype).kind != "f":
+        return False
+    if np.dtype(x.dtype).itemsize > 4:
+        return False
+    if order not in (0, 1, 3):
+        return False
+    try:
+        m = np.asarray(matrix)
+    except Exception:
+        return False  # traced matrix: block plan cannot be static
+    if m.shape != (2, 2) or not np.all(np.isfinite(m)):
+        return False
+    # bbox must stay bounded (strong minification blows it up)
+    span0 = (abs(m[0, 0]) + abs(m[0, 1])) * _BLOCK + order + 4
+    span1 = (abs(m[1, 0]) + abs(m[1, 1])) * _BLOCK + order + 4
+    if span0 > _MAX_SRC or span1 > _MAX_SRC:
+        return False
+    if x.size < (1 << 20):
+        return False
+    return True
+
+
+def _tap_weights(frac, order):
+    """Per-tap weights and the integer base offset for this order."""
+    if order == 0:
+        return [jnp.ones_like(frac)], 0
+    if order == 1:
+        return [1.0 - frac, frac], 0
+    # cubic B-spline: 4 taps starting at floor - 1
+    return spline_weights(frac, 3), -1
+
+
+def _round_up(v, m):
+    return ((v + m - 1) // m) * m
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mshape", "order", "mode", "cval", "out_shape"),
+)
+def _affine_onehot_core(
+    xext, lo0, lo1, mshape, order, mode, cval, out_shape
+):
+    (a00, a01, a10, a11, o0, o1) = mshape
+    H, W = out_shape
+    B = _BLOCK
+    G0 = -(-H // B)
+    G1 = -(-W // B)
+
+    # per-block source bbox extents (static)
+    span0 = (abs(a00) + abs(a01)) * B + order + 4
+    span1 = (abs(a10) + abs(a11)) * B + order + 4
+    S0 = _round_up(int(math.ceil(span0)), 8)
+    S1 = _round_up(int(math.ceil(span1)), 128)
+
+    # guard pad so dynamic_slice never clamps
+    xg = jnp.pad(xext, ((0, S0), (0, S1)))
+
+    ii_blk, jj_blk = np.mgrid[0:B, 0:B].astype(np.float32)
+    iota0 = jnp.arange(S0, dtype=jnp.int32)
+    iota1 = jnp.arange(S1, dtype=jnp.int32)
+    base_off = -1 if order == 3 else 0
+    n_taps = order + 1
+
+    def do_block(carry, bij):
+        bi, bj = bij
+        i = (bi * B).astype(np.float32) + ii_blk
+        j = (bj * B).astype(np.float32) + jj_blk
+        # coords in the ORIGINAL frame — identical f32 arithmetic to the
+        # gather path, so tap selection (incl. exact-tie rounding) is
+        # bitwise the same; the pad offset is added to the INTEGER tap
+        # index afterwards (adding it to the float coord first perturbs
+        # the fraction near ties)
+        r = a00 * i + a01 * j + o0
+        c = a10 * i + a11 * j + o1
+        if order == 0:
+            r0 = jnp.floor(r + 0.5)
+            c0 = jnp.floor(c + 0.5)
+        else:
+            r0 = jnp.floor(r)
+            c0 = jnp.floor(c)
+        fr = r - r0
+        fc = c - c0
+        r0i = r0.astype(jnp.int32) + lo0
+        c0i = c0.astype(jnp.int32) + lo1
+        rmin = jnp.maximum(jnp.min(r0i) + base_off, 0)
+        cmin = jnp.maximum(jnp.min(c0i) + base_off, 0)
+        src = lax.dynamic_slice(xg, (rmin, cmin), (S0, S1))
+
+        rl = (r0i - rmin).reshape(-1)
+        cl = (c0i - cmin).reshape(-1)
+
+        wr, _ = _tap_weights(fr.reshape(-1), order)
+        wc, _ = _tap_weights(fc.reshape(-1), order)
+
+        Wrow = None
+        for k in range(n_taps):
+            t = (iota0[None, :] == (rl + base_off + k)[:, None]) * wr[
+                k
+            ][:, None]
+            Wrow = t if Wrow is None else Wrow + t
+        rows = jnp.dot(
+            Wrow,
+            src,
+            precision=lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        Wcol = None
+        for k in range(n_taps):
+            t = (iota1[None, :] == (cl + base_off + k)[:, None]) * wc[
+                k
+            ][:, None]
+            Wcol = t if Wcol is None else Wcol + t
+        out = jnp.sum(rows * Wcol, axis=1)
+        return carry, out.reshape(B, B).astype(xext.dtype)
+
+    bidx = jnp.stack(
+        jnp.meshgrid(
+            jnp.arange(G0), jnp.arange(G1), indexing="ij"
+        ),
+        -1,
+    ).reshape(-1, 2)
+    _, blocks = lax.scan(do_block, 0, (bidx[:, 0], bidx[:, 1]))
+    out = (
+        blocks.reshape(G0, G1, B, B)
+        .transpose(0, 2, 1, 3)
+        .reshape(G0 * B, G1 * B)
+    )
+    return out[:H, :W]
+
+
+def affine_onehot_2d(
+    x, matrix, offset, order, mode, cval, out_shape
+):
+    """Resample ``x`` at ``matrix @ out_coord + offset`` (2-D, orders
+    0/1/3) via the blocked one-hot MXU path.  Returns None when the
+    fallback gather path should run instead."""
+    matrix = np.asarray(matrix, dtype=np.float64)
+    offset = np.asarray(offset, dtype=np.float64).reshape(2)
+    if not supports_affine(x, matrix, order):
+        return None
+    if mode not in (
+        "nearest", "reflect", "mirror", "grid-wrap",
+        "grid-mirror", "constant", "grid-constant",
+    ):
+        # legacy 'wrap' premaps the float coordinate with a
+        # non-periodic fold that a padded extension cannot express
+        return None
+    if order == 0 and mode in (
+        "reflect", "mirror", "grid-mirror", "grid-wrap",
+    ):
+        # round-half-up direction flips under coordinate folding; the
+        # gather path premaps the float coordinate like scipy does
+        return None
+
+    margin = order + 2
+    pads = _excursion(matrix, offset, out_shape, x.shape, margin)
+    if any(
+        max(plo, phi) >= s
+        for (plo, phi), s in zip(pads, x.shape)
+    ) and mode not in ("constant", "grid-constant", "nearest"):
+        # excursion beyond one period: let the gather path handle the
+        # exotic wrap/reflect index math (jnp.pad cannot express it in
+        # one step and the gather fallback in boundary.pad covers it,
+        # but correctness near multi-period folds is subtle — bail)
+        return None
+    # tap boundary family: orders >= 2 map out-of-range taps with the
+    # spline mode family (mirror for legacy 'constant'/'reflect' etc.),
+    # exactly like interp.axis_taps — the outer cval mask is the
+    # caller's job
+    if order >= 2 and mode not in ("grid-constant", "nearest"):
+        pad_mode = get_spline_mode(mode)
+    else:
+        pad_mode = mode
+    xext = boundary.pad(x, pads, pad_mode, cval)
+
+    mshape = (
+        float(matrix[0, 0]),
+        float(matrix[0, 1]),
+        float(matrix[1, 0]),
+        float(matrix[1, 1]),
+        float(offset[0]),
+        float(offset[1]),
+    )
+    return _affine_onehot_core(
+        xext,
+        np.int32(pads[0][0]),
+        np.int32(pads[1][0]),
+        mshape,
+        int(order),
+        mode,
+        float(cval),
+        tuple(int(s) for s in out_shape),
+    )

@@ -274,6 +274,38 @@ def affine_transform(
             )
         return _finalize(out, out_dtype)
 
+    # general matrix: try the blocked one-hot MXU sampler first (XLA's
+    # per-point gather is pathologically slow on TPU; ops/onehot_interp)
+    from cupyimg_tpu.ops import onehot_interp
+
+    oh = onehot_interp.affine_onehot_2d(
+        filtered, matrix, offsets + npad, order, mode, cval,
+        output_shape,
+    ) if ndim == 2 else None
+    if oh is not None:
+        if mode == "constant":
+            ii, jj = jnp.meshgrid(
+                jnp.arange(output_shape[0], dtype=coord_dtype),
+                jnp.arange(output_shape[1], dtype=coord_dtype),
+                indexing="ij",
+            )
+            r = (
+                np.asarray(matrix[0, 0], coord_dtype) * ii
+                + np.asarray(matrix[0, 1], coord_dtype) * jj
+                + np.asarray(offsets[0], coord_dtype)
+            )
+            c = (
+                np.asarray(matrix[1, 0], coord_dtype) * ii
+                + np.asarray(matrix[1, 1], coord_dtype) * jj
+                + np.asarray(offsets[1], coord_dtype)
+            )
+            oob = (
+                (r < 0) | (r > x.shape[0] - 1)
+                | (c < 0) | (c > x.shape[1] - 1)
+            )
+            oh = jnp.where(oob, jnp.asarray(cval, oh.dtype), oh)
+        return _finalize(oh, out_dtype)
+
     grids = jnp.meshgrid(
         *[jnp.arange(s, dtype=coord_dtype) for s in output_shape],
         indexing="ij",

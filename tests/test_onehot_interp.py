@@ -1,0 +1,123 @@
+"""One-hot MXU affine resampling tests.
+
+The path is TPU-gated in production; here the gate is bypassed so the
+pure-XLA core runs on CPU and is compared against scipy and against the
+gather engine it replaces.
+"""
+
+import numpy as np
+import pytest
+import scipy.ndimage as sndi
+
+import jax.numpy as jnp
+
+import cupyimg_tpu.ops.onehot_interp as oh
+import cupyimg_tpu.scipy.ndimage as ndi
+
+
+@pytest.fixture
+def force_onehot(monkeypatch):
+    real = oh.supports_affine
+
+    def patched(x, matrix, order):
+        import numpy as _np
+
+        m = _np.asarray(matrix)
+        if m.shape != (2, 2):
+            return False
+        if order not in (0, 1, 3):
+            return False
+        return x.ndim == 2 and _np.dtype(x.dtype).kind == "f"
+
+    monkeypatch.setattr(oh, "supports_affine", patched)
+    yield
+    monkeypatch.setattr(oh, "supports_affine", real)
+
+
+MAT = np.array([[0.9, 0.1], [-0.1, 0.9]])
+
+
+class TestOneHotAffine:
+    @pytest.mark.parametrize("order", [0, 1, 3])
+    @pytest.mark.parametrize(
+        "mode", ["nearest", "constant", "mirror", "grid-constant"]
+    )
+    def test_matches_scipy(self, force_onehot, order, mode):
+        if order == 0 and mode == "mirror":
+            pytest.skip("tie-sensitive mode routed to gather path")
+        x = np.random.RandomState(0).rand(160, 150).astype(
+            np.float32
+        )
+        got = oh.affine_onehot_2d(
+            jnp.asarray(x), MAT, (1.5, -2.0), order, mode, 0.3,
+            (160, 150),
+        )
+        assert got is not None
+        # caller applies the legacy-constant outer mask; emulate it
+        got = np.asarray(got)
+        exp = sndi.affine_transform(
+            x.astype(np.float64), MAT, offset=(1.5, -2.0),
+            order=order, mode=mode, cval=0.3, prefilter=False,
+        )
+        if mode == "constant":
+            ii, jj = np.mgrid[0:160, 0:150]
+            r = MAT[0, 0] * ii + MAT[0, 1] * jj + 1.5
+            c = MAT[1, 0] * ii + MAT[1, 1] * jj - 2.0
+            keep = (
+                (r >= 0) & (r <= 159) & (c >= 0) & (c <= 149)
+            )
+        else:
+            keep = np.ones((160, 150), bool)
+        # order-0 ties under f32 coords: compare off-tie points
+        if order == 0:
+            rr = MAT[0, 0] * np.mgrid[0:160, 0:150][0] + \
+                MAT[0, 1] * np.mgrid[0:160, 0:150][1] + 1.5
+            cc = MAT[1, 0] * np.mgrid[0:160, 0:150][0] + \
+                MAT[1, 1] * np.mgrid[0:160, 0:150][1] - 2.0
+            off_tie = (np.abs(rr % 1 - 0.5) > 1e-3) & (
+                np.abs(cc % 1 - 0.5) > 1e-3
+            )
+            keep &= off_tie
+        np.testing.assert_allclose(
+            got[keep], exp[keep], atol=5e-4
+        )
+
+    def test_order3_prefiltered_end_to_end(self, force_onehot):
+        # through the public affine_transform (prefilter + masks)
+        x = np.random.RandomState(1).rand(200, 190).astype(
+            np.float32
+        )
+        got = np.asarray(
+            ndi.affine_transform(
+                jnp.asarray(x), MAT, order=3, mode="mirror"
+            )
+        )
+        exp = sndi.affine_transform(
+            x.astype(np.float64), MAT, order=3, mode="mirror"
+        )
+        np.testing.assert_allclose(got, exp, atol=5e-4)
+
+    def test_fallbacks(self):
+        x = jnp.zeros((64, 64), jnp.float32)
+        # legacy wrap and order-0 reflect must decline
+        assert (
+            oh.affine_onehot_2d(
+                x, MAT, (0, 0), 1, "wrap", 0.0, (64, 64)
+            )
+            is None
+        )
+        assert (
+            oh.affine_onehot_2d(
+                x, MAT, (0, 0), 0, "reflect", 0.0, (64, 64)
+            )
+            is None
+        )
+
+    def test_supports_gating(self):
+        big = jnp.zeros((2048, 2048), jnp.float32)
+        # blow up the per-block bbox with a huge minification
+        m = np.array([[40.0, 0.0], [0.0, 40.0]])
+        assert not oh.supports_affine(big, m, 1)
+        assert not oh.supports_affine(
+            jnp.zeros((8, 8, 8), jnp.float32), MAT, 1
+        )
