@@ -256,6 +256,16 @@ def affine_transform(
                                   allow_float32)
     coord_dtype = np.float32 if allow_float32 else np.float64
 
+    # diagonal 2-D matrix: same dispatch as the reference's zoom_shift
+    # kernel specialization (interpolation.py:526-541) — per-axis
+    # separable gathers instead of the dense path
+    if (
+        matrix.ndim == 2
+        and matrix.shape == (ndim, ndim)
+        and np.all(matrix == np.diag(np.diagonal(matrix)))
+    ):
+        matrix = np.diagonal(matrix).copy()
+
     if matrix.ndim == 1:
         if matrix.shape[0] != ndim:
             raise RuntimeError("improper affine shape")

@@ -2,19 +2,22 @@
 
 TPU-native replacement for the reference's external ``fast_upfirdn`` CUDA
 extension (reference cupyimg/scipy/signal/_upfirdn.py:145, SURVEY.md N11):
-the whole up->filter->down cascade is ONE ``lax.conv_general_dilated`` call
-— ``lhs_dilation=up`` performs the zero insertion, ``window_strides=down``
-the decimation — which XLA lowers to the polyphase form natively (it never
-materializes the zero-stuffed signal).  The 9 signal-extension modes are
-explicit pre-extensions with an alignment shift so the decimation grid
-matches scipy's.
+the up->filter->down cascade runs as a static polyphase decomposition —
+one fused strided-slice multiply-add pass per output phase (see
+``_upfirdn_zero``; a channelless 1-D ``conv_general_dilated`` lowers
+catastrophically on TPU).  The 9 signal-extension modes are explicit
+pre-extensions with an alignment shift so the decimation grid matches
+scipy's.
 """
 
 from __future__ import annotations
 
 import math
 
+import functools
+
 import numpy as np
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -129,28 +132,66 @@ def _k_broadcast(k, ndim, axis):
     return jnp.asarray(k, dtype=np.float64).reshape(shape)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("up", "down", "out_len")
+)
 def _upfirdn_zero(h, x, up: int, down: int, out_len: int):
-    """Core zero-extension upfirdn along the LAST axis via dilated conv."""
+    """Core zero-extension upfirdn along the LAST axis.
+
+    Static polyphase decomposition: output index ``m = p + P*s`` with
+    ``P = up / gcd(up, down)`` phases; each phase is a sum of strided
+    static slices of ``x`` times one filter tap, which XLA fuses into a
+    single bandwidth-bound pass.  (A channelless 1-D
+    ``conv_general_dilated`` lowers catastrophically on TPU — hundreds
+    of ms for a 1M-sample signal.)
+
+    Derivation: ``out[m] = sum_j h[j] * xup[m*down - j]`` with
+    ``xup[l] = x[l/up]`` when ``up | l``; substituting ``j = r + up*t``
+    with ``r = (m*down) % up`` gives
+    ``out[m] = sum_t h[r + up*t] * x[(m*down)//up - t]``.
+    """
+    import math as _math
+
     len_h = h.shape[0]
     n = x.shape[-1]
-    n_up = (n - 1) * up + 1
-    pl = len_h - 1
-    ph = (out_len - 1) * down + len_h - n_up - pl
-    ph = max(ph, 0)
-    batch_shape = x.shape[:-1]
-    lhs = x.reshape((-1, 1, n))
-    rhs = h[::-1][None, None, :]
-    out = lax.conv_general_dilated(
-        lhs,
-        rhs,
-        window_strides=(down,),
-        padding=[(pl, ph)],
-        lhs_dilation=(up,),
-        dimension_numbers=("NCW", "OIW", "NCW"),
-        precision=lax.Precision.HIGHEST,
+    g = _math.gcd(up, down)
+    P = up // g          # number of output phases
+    D = down // g        # input stride per phase step
+
+    # max t across phases bounds the left reach into x
+    T = (len_h + up - 1) // up
+    L = -(-out_len // P)  # outputs per phase (padded)
+    # rightmost x index touched: q0_p + D*(L-1); pad so slices fit
+    q_max = ((P - 1) * down) // up + D * (L - 1)
+    pad_hi = max(0, q_max + 1 - n)
+    xp = jnp.pad(
+        x,
+        [(0, 0)] * (x.ndim - 1) + [(T, pad_hi)],
     )
-    out = out[:, 0, :out_len]
-    return out.reshape(batch_shape + (out_len,))
+
+    phases = []
+    for p in range(P):
+        i0 = p * down
+        r = i0 % up
+        q0 = i0 // up
+        acc = None
+        t = 0
+        while r + up * t < len_h:
+            tap = h[r + up * t]
+            start = q0 - t + T
+            sl = lax.slice_in_dim(
+                xp, start, start + D * (L - 1) + 1, stride=D,
+                axis=x.ndim - 1,
+            )
+            term = sl * tap
+            acc = term if acc is None else acc + term
+            t += 1
+        if acc is None:
+            acc = jnp.zeros(x.shape[:-1] + (L,), dtype=x.dtype)
+        phases.append(acc)
+
+    out = jnp.stack(phases, axis=-1).reshape(x.shape[:-1] + (L * P,))
+    return out[..., :out_len]
 
 
 def upfirdn(
