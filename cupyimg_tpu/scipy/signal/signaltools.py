@@ -278,10 +278,13 @@ def oaconvolve(in1, in2, mode="full", axes=None):
 
 
 def _direct_corr_real(xp, w, out_shape):
-    """VALID real correlation of a pre-padded array (XLA conv; shift-add
-    fallback above rank 3)."""
+    """VALID real correlation of a pre-padded array.
+
+    Small kernels unroll as shift-multiply-adds (XLA fuses them into one
+    pass; a channelless ``conv_general_dilated`` lowers catastrophically
+    on TPU); large kernels and rank <= 3 use the XLA conv op."""
     ndim = xp.ndim
-    if ndim > 3:
+    if ndim > 3 or int(np.prod(w.shape)) <= 64:
         import itertools
 
         out = None

@@ -8,7 +8,10 @@ each iteration's math is a fused jnp expression.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from cupyimg_tpu.core.complexutil import make_complex
@@ -189,6 +192,29 @@ def unsupervised_wiener(
     return (x_postmean, {"noise": gn_chain, "prior": gx_chain})
 
 
+
+
+@functools.partial(
+    jax.jit, static_argnames=("iterations", "filter_epsilon")
+)
+def _rl_loop(image, psf, psf_mirror, est0, iterations, filter_epsilon):
+    """Richardson-Lucy multiplicative updates inside one jitted
+    fori_loop (eager per-iteration dispatch costs two convolution round
+    trips per step)."""
+
+    def body(_, est):
+        conv = convolve(est, psf, mode="same")
+        if filter_epsilon:
+            relative_blur = jnp.where(
+                conv < filter_epsilon, 0, image / conv
+            )
+        else:
+            relative_blur = image / conv
+        return est * convolve(relative_blur, psf_mirror, mode="same")
+
+    return jax.lax.fori_loop(0, iterations, body, est0)
+
+
 def richardson_lucy(
     image, psf, iterations=50, clip=True, filter_epsilon=None
 ):
@@ -206,17 +232,10 @@ def richardson_lucy(
     im_deconv = jnp.full(image.shape, 0.5, dtype=float_type)
     psf_mirror = psf[(slice(None, None, -1),) * psf.ndim]
 
-    for _ in range(iterations):
-        conv = convolve(im_deconv, psf, mode="same")
-        if filter_epsilon:
-            relative_blur = jnp.where(
-                conv < filter_epsilon, 0, image / conv
-            )
-        else:
-            relative_blur = image / conv
-        im_deconv = im_deconv * convolve(
-            relative_blur, psf_mirror, mode="same"
-        )
+    im_deconv = _rl_loop(
+        image, psf, psf_mirror, im_deconv, int(iterations),
+        float(filter_epsilon) if filter_epsilon else None,
+    )
 
     if clip:
         im_deconv = jnp.clip(im_deconv, -1, 1)
