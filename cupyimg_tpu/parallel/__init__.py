@@ -14,4 +14,9 @@ from cupyimg_tpu.parallel.halo import (  # noqa: F401
     sharded_correlate1d,
     sharded_uniform_filter,
     sharded_gaussian_filter,
+    sharded_min_max_filter,
+    sharded_minimum_filter,
+    sharded_maximum_filter,
+    sharded_median_filter,
+    sharded_fftconvolve,
 )

@@ -191,3 +191,148 @@ def sharded_gaussian_filter(x, sigma, mesh, spec, mode="reflect", cval=0.0,
         else:
             weights.append(None)
     return sharded_separable(x, weights, mesh, spec, mode, cval)
+
+
+def _local_minmax1d_prehalo(xext, size, axis, nloc, is_min):
+    """Running 1-d min/max on a halo-extended slab."""
+    op = jnp.minimum if is_min else jnp.maximum
+    out = None
+    for k in range(size):
+        sl = [slice(None)] * xext.ndim
+        sl[axis] = slice(k, k + nloc)
+        term = xext[tuple(sl)]
+        out = term if out is None else op(out, term)
+    return out
+
+
+def sharded_min_max_filter(x, size, mesh, spec, mode="reflect", cval=0.0,
+                           *, is_min=True, origin=0):
+    """Separable box minimum/maximum filter over a sharded volume
+    (ICI halo exchange per sharded axis)."""
+    x = jnp.asarray(x)
+    sizes = util.fix_sequence_arg(size, x.ndim, "size", int)
+    origins = util.fix_sequence_arg(origin, x.ndim, "origin", int)
+    names = _spec_axis_names(spec, x.ndim)
+
+    def make_local(axis, sz, og, axis_name):
+        lo = sz // 2 + og
+        hi = sz - 1 - lo
+
+        def local_fn(xs):
+            if axis_name is None:
+                ext = _edge_pad(xs, lo, hi, axis, mode, cval)
+            else:
+                ext = halo_exchange(
+                    xs, lo, hi, axis, axis_name, mode, cval
+                )
+            return _local_minmax1d_prehalo(
+                ext, sz, axis, xs.shape[axis], is_min
+            )
+
+        return local_fn
+
+    y = x
+    for axis in range(x.ndim):
+        if sizes[axis] <= 1:
+            continue
+        fn = shard_map(
+            make_local(axis, sizes[axis], origins[axis], names[axis]),
+            mesh=mesh, in_specs=(spec,), out_specs=spec,
+            check_vma=False,
+        )
+        y = fn(y)
+    return y
+
+
+def sharded_minimum_filter(x, size, mesh, spec, mode="reflect", cval=0.0):
+    """minimum_filter for mesh-sharded volumes."""
+    return sharded_min_max_filter(
+        x, size, mesh, spec, mode, cval, is_min=True
+    )
+
+
+def sharded_maximum_filter(x, size, mesh, spec, mode="reflect", cval=0.0):
+    """maximum_filter for mesh-sharded volumes."""
+    return sharded_min_max_filter(
+        x, size, mesh, spec, mode, cval, is_min=False
+    )
+
+
+def sharded_median_filter(x, size, mesh, spec, mode="reflect", cval=0.0):
+    """Box median filter over a sharded volume.
+
+    Halos for every sharded axis are exchanged once, then each shard
+    runs the rank-pruned sorting network locally (no further
+    communication)."""
+    from cupyimg_tpu.ops.sorting_networks import rank_select
+
+    x = jnp.asarray(x)
+    sizes = util.fix_sequence_arg(size, x.ndim, "size", int)
+    names = _spec_axis_names(spec, x.ndim)
+    k = int(np.prod(sizes))
+    rank = k // 2
+    los = [s // 2 for s in sizes]
+    his = [s - 1 - lo for s, lo in zip(sizes, los)]
+
+    def local_fn(xs):
+        ext = xs
+        for axis in range(xs.ndim):
+            if sizes[axis] <= 1:
+                continue
+            if names[axis] is None:
+                ext = _edge_pad(
+                    ext, los[axis], his[axis], axis, mode, cval
+                )
+            else:
+                ext = halo_exchange(
+                    ext, los[axis], his[axis], axis, names[axis],
+                    mode, cval,
+                )
+        vals = []
+        import itertools as _it
+
+        for off in _it.product(*[range(s) for s in sizes]):
+            sl = tuple(
+                slice(o, o + n) for o, n in zip(off, xs.shape)
+            )
+            vals.append(ext[sl])
+        return rank_select(vals, rank)
+
+    fn = shard_map(
+        local_fn, mesh=mesh, in_specs=(spec,), out_specs=spec,
+        check_vma=False,
+    )
+    return fn(x)
+
+
+def sharded_fftconvolve(x, kernel, mesh, spec, mode="same"):
+    """Batched FFT convolution where only BATCH axes are sharded.
+
+    The convolved (trailing ``kernel.ndim``) axes must be unsharded in
+    ``spec``; each shard then runs a plain local fftconvolve — data
+    parallelism over ICI-free batch shards, the standard layout for
+    filtering stacks of images."""
+    from cupyimg_tpu.scipy.signal import fftconvolve
+
+    x = jnp.asarray(x)
+    kernel = jnp.asarray(kernel)
+    names = _spec_axis_names(spec, x.ndim)
+    kdim = kernel.ndim
+    if any(n is not None for n in names[x.ndim - kdim:]):
+        raise ValueError(
+            "convolved axes must be unsharded; shard only the batch "
+            "axes"
+        )
+
+    def local_fn(xs):
+        flat = xs.reshape((-1,) + xs.shape[x.ndim - kdim:])
+        out = jax.vmap(
+            lambda v: fftconvolve(v, kernel, mode=mode)
+        )(flat)
+        return out.reshape(xs.shape[: x.ndim - kdim] + out.shape[1:])
+
+    fn = shard_map(
+        local_fn, mesh=mesh, in_specs=(spec,), out_specs=spec,
+        check_vma=False,
+    )
+    return fn(x)

@@ -78,3 +78,52 @@ def test_jit_sharded():
     np.testing.assert_allclose(np.asarray(got), exp, rtol=2e-5, atol=2e-5)
     # output keeps the sharding
     assert got.sharding.spec == spec
+
+
+@pytest.mark.parametrize("is_min", [True, False])
+def test_sharded_min_max(is_min):
+    mesh = _mesh((4, 2), ("x", "y"))
+    x = np.random.RandomState(3).randn(40, 24).astype(np.float32)
+    spec = P("x", "y")
+    xg = jax.device_put(jnp.asarray(x), NamedSharding(mesh, spec))
+    fn = (
+        parallel.sharded_minimum_filter
+        if is_min
+        else parallel.sharded_maximum_filter
+    )
+    got = fn(xg, 5, mesh, spec, mode="reflect")
+    oracle = ndi.minimum_filter if is_min else ndi.maximum_filter
+    exp = oracle(x, size=5, mode="reflect")
+    np.testing.assert_array_equal(np.asarray(got), exp)
+
+
+def test_sharded_median():
+    mesh = _mesh((8,), ("x",))
+    x = np.random.RandomState(4).randn(64, 19).astype(np.float32)
+    spec = P("x", None)
+    xg = jax.device_put(jnp.asarray(x), NamedSharding(mesh, spec))
+    got = parallel.sharded_median_filter(xg, 3, mesh, spec,
+                                         mode="nearest")
+    exp = ndi.median_filter(x, size=3, mode="nearest")
+    np.testing.assert_array_equal(np.asarray(got), exp)
+
+
+def test_sharded_fftconvolve_batch():
+    import scipy.signal as ss
+
+    mesh = _mesh((8,), ("batch",))
+    x = np.random.RandomState(5).randn(8, 24, 25).astype(np.float32)
+    k = np.random.RandomState(6).randn(5, 5).astype(np.float32)
+    spec = P("batch", None, None)
+    xg = jax.device_put(jnp.asarray(x), NamedSharding(mesh, spec))
+    got = parallel.sharded_fftconvolve(xg, jnp.asarray(k), mesh, spec)
+    exp = np.stack(
+        [ss.fftconvolve(v, k, mode="same") for v in x]
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), exp, rtol=1e-4, atol=1e-4
+    )
+    with pytest.raises(ValueError):
+        parallel.sharded_fftconvolve(
+            xg, jnp.asarray(k), mesh, P(None, "batch", None)
+        )
