@@ -35,7 +35,11 @@ from cupyimg_tpu.core import boundary
 from cupyimg_tpu.ops.interp import spline_weights
 from cupyimg_tpu.ops.iir import get_spline_mode
 
-__all__ = ["affine_onehot_2d", "supports_affine"]
+__all__ = [
+    "affine_onehot_2d",
+    "affine_onehot_batched2d",
+    "supports_affine",
+]
 
 _BLOCK = 128
 _MAX_SRC = 512  # per-block source bbox edge cap
@@ -117,6 +121,8 @@ def _affine_onehot_core(
     B = _BLOCK
     G0 = -(-H // B)
     G1 = -(-W // B)
+    batched = xext.ndim == 3
+    NB = xext.shape[0] if batched else 1
 
     # per-block source bbox extents (static)
     span0 = (abs(a00) + abs(a01)) * B + order + 4
@@ -125,7 +131,10 @@ def _affine_onehot_core(
     S1 = _round_up(int(math.ceil(span1)), 128)
 
     # guard pad so dynamic_slice never clamps
-    xg = jnp.pad(xext, ((0, S0), (0, S1)))
+    if batched:
+        xg = jnp.pad(xext, ((0, 0), (0, S0), (0, S1)))
+    else:
+        xg = jnp.pad(xext, ((0, S0), (0, S1)))
 
     ii_blk, jj_blk = np.mgrid[0:B, 0:B].astype(np.float32)
     iota0 = jnp.arange(S0, dtype=jnp.int32)
@@ -156,7 +165,12 @@ def _affine_onehot_core(
         c0i = c0.astype(jnp.int32) + lo1
         rmin = jnp.maximum(jnp.min(r0i) + base_off, 0)
         cmin = jnp.maximum(jnp.min(c0i) + base_off, 0)
-        src = lax.dynamic_slice(xg, (rmin, cmin), (S0, S1))
+        if batched:
+            src = lax.dynamic_slice(
+                xg, (jnp.int32(0), rmin, cmin), (NB, S0, S1)
+            )
+        else:
+            src = lax.dynamic_slice(xg, (rmin, cmin), (S0, S1))
 
         rl = (r0i - rmin).reshape(-1)
         cl = (c0i - cmin).reshape(-1)
@@ -170,18 +184,31 @@ def _affine_onehot_core(
                 k
             ][:, None]
             Wrow = t if Wrow is None else Wrow + t
-        rows = jnp.dot(
-            Wrow,
-            src,
-            precision=lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32,
-        )
+        if batched:
+            # shared weights across the batch: (P,S0) x (NB,S0,S1)
+            rows = jnp.einsum(
+                "ps,bst->bpt",
+                Wrow,
+                src,
+                precision=lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            rows = jnp.dot(
+                Wrow,
+                src,
+                precision=lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )
         Wcol = None
         for k in range(n_taps):
             t = (iota1[None, :] == (cl + base_off + k)[:, None]) * wc[
                 k
             ][:, None]
             Wcol = t if Wcol is None else Wcol + t
+        if batched:
+            out = jnp.sum(rows * Wcol[None], axis=2)
+            return carry, out.reshape(NB, B, B).astype(xext.dtype)
         out = jnp.sum(rows * Wcol, axis=1)
         return carry, out.reshape(B, B).astype(xext.dtype)
 
@@ -192,12 +219,85 @@ def _affine_onehot_core(
         -1,
     ).reshape(-1, 2)
     _, blocks = lax.scan(do_block, 0, (bidx[:, 0], bidx[:, 1]))
+    if batched:
+        out = (
+            blocks.reshape(G0, G1, NB, B, B)
+            .transpose(2, 0, 3, 1, 4)
+            .reshape(NB, G0 * B, G1 * B)
+        )
+        return out[:, :H, :W]
     out = (
         blocks.reshape(G0, G1, B, B)
         .transpose(0, 2, 1, 3)
         .reshape(G0 * B, G1 * B)
     )
     return out[:H, :W]
+
+
+def affine_onehot_batched2d(
+    x, matrix, offset, order, mode, cval, out_shape
+):
+    """Batched variant: ``x`` is (B, H, W) and the same 2-D affine
+    resamples every leading slice (coordinates are independent of the
+    batch axis, so the one-hot weight matrices are shared and the row
+    contraction becomes one batched MXU matmul per block)."""
+    matrix = np.asarray(matrix, dtype=np.float64)
+    offset = np.asarray(offset, dtype=np.float64).reshape(2)
+    if x.ndim != 3:
+        return None
+    probe = x[0]
+    if not supports_affine(probe, matrix, order):
+        # size gate uses the full batch volume
+        if not (
+            supports_affine(
+                jnp.zeros((max(x.shape[1], 1024), 1024), x.dtype),
+                matrix, order,
+            )
+            and x.size >= (1 << 20)
+        ):
+            return None
+    if mode not in (
+        "nearest", "reflect", "mirror", "grid-wrap",
+        "grid-mirror", "constant", "grid-constant",
+    ):
+        return None
+    if order == 0 and mode in (
+        "reflect", "mirror", "grid-mirror", "grid-wrap",
+    ):
+        return None
+
+    margin = order + 2
+    pads = _excursion(
+        matrix, offset, out_shape, x.shape[1:], margin
+    )
+    if any(
+        max(plo, phi) >= sdim
+        for (plo, phi), sdim in zip(pads, x.shape[1:])
+    ) and mode not in ("constant", "grid-constant", "nearest"):
+        return None
+    if order >= 2 and mode not in ("grid-constant", "nearest"):
+        pad_mode = get_spline_mode(mode)
+    else:
+        pad_mode = mode
+    xext = boundary.pad(
+        x, [(0, 0)] + list(pads), pad_mode, cval
+    )
+
+    mshape = (
+        float(matrix[0, 0]), float(matrix[0, 1]),
+        float(matrix[1, 0]), float(matrix[1, 1]),
+        float(offset[0]), float(offset[1]),
+    )
+    return _affine_onehot_core(
+        xext,
+        np.int32(pads[0][0]),
+        np.int32(pads[1][0]),
+        mshape,
+        int(order),
+        mode,
+        float(cval),
+        tuple(int(v) for v in out_shape),
+    )
 
 
 def affine_onehot_2d(

@@ -288,31 +288,36 @@ def affine_transform(
     # per-point gather is pathologically slow on TPU; ops/onehot_interp)
     from cupyimg_tpu.ops import onehot_interp
 
-    oh = onehot_interp.affine_onehot_2d(
-        filtered, matrix, offsets + npad, order, mode, cval,
-        output_shape,
-    ) if ndim == 2 else None
+    oh = None
+    if ndim == 2:
+        oh = onehot_interp.affine_onehot_2d(
+            filtered, matrix, offsets + npad, order, mode, cval,
+            output_shape,
+        )
+    elif ndim >= 3:
+        oh = _try_batched_plane_onehot(
+            filtered, matrix, offsets, npad, order, mode, cval,
+            output_shape, onehot_interp,
+        )
     if oh is not None:
         if mode == "constant":
-            ii, jj = jnp.meshgrid(
-                jnp.arange(output_shape[0], dtype=coord_dtype),
-                jnp.arange(output_shape[1], dtype=coord_dtype),
+            grids_m = jnp.meshgrid(
+                *[
+                    jnp.arange(sdim, dtype=coord_dtype)
+                    for sdim in output_shape
+                ],
                 indexing="ij",
+                sparse=True,
             )
-            r = (
-                np.asarray(matrix[0, 0], coord_dtype) * ii
-                + np.asarray(matrix[0, 1], coord_dtype) * jj
-                + np.asarray(offsets[0], coord_dtype)
-            )
-            c = (
-                np.asarray(matrix[1, 0], coord_dtype) * ii
-                + np.asarray(matrix[1, 1], coord_dtype) * jj
-                + np.asarray(offsets[1], coord_dtype)
-            )
-            oob = (
-                (r < 0) | (r > x.shape[0] - 1)
-                | (c < 0) | (c > x.shape[1] - 1)
-            )
+            oob = None
+            for j in range(ndim):
+                cj = sum(
+                    np.asarray(matrix[j, k], coord_dtype) * grids_m[k]
+                    for k in range(ndim)
+                ) + np.asarray(offsets[j], coord_dtype)
+                m = (cj < 0) | (cj > x.shape[j] - 1)
+                oob = m if oob is None else oob | m
+            oob = jnp.broadcast_to(oob, output_shape)
             oh = jnp.where(oob, jnp.asarray(cval, oh.dtype), oh)
         return _finalize(oh, out_dtype)
 
@@ -336,6 +341,69 @@ def affine_transform(
         out = _mask_outer_constant_general(out, coords, x.shape, npad, mode,
                                            cval)
     return _finalize(out, out_dtype)
+
+
+
+def _try_batched_plane_onehot(
+    filtered, matrix, offsets, npad, order, mode, cval, output_shape,
+    onehot_interp,
+):
+    """nd affine whose matrix couples exactly two axes (identity rows,
+    zero offsets elsewhere) — e.g. ``rotate`` on a volume: move the
+    coupled plane last, batch the rest, and run the shared-weights
+    one-hot MXU sampler.  Exact because tensor-product spline
+    evaluation factorizes across independent coordinate axes."""
+    ndim = filtered.ndim
+    if order > 1:
+        # identity axes still need the 1-D spline reconstruction of
+        # the coefficient array at integer coordinates for order >= 2;
+        # only the order <= 1 case reduces to a plain slice
+        return None
+    coupled = [
+        j
+        for j in range(ndim)
+        if not (
+            np.all(matrix[j] == np.eye(ndim)[j])
+            and offsets[j] == 0.0
+        )
+    ]
+    if len(coupled) != 2:
+        return None
+    p, q = coupled
+    # no cross terms into/out of other axes
+    for j in (p, q):
+        for k in range(ndim):
+            if k not in (p, q) and matrix[j, k] != 0:
+                return None
+    sub = matrix[np.ix_([p, q], [p, q])]
+    sub_off = offsets[[p, q]]
+    # output extents must match input on the uncoupled (identity) axes
+    orig_shape = tuple(
+        s - 2 * npad for s in filtered.shape
+    )
+    for k in range(ndim):
+        if k not in (p, q) and output_shape[k] != orig_shape[k]:
+            return None
+
+    # identity axes read at integer coords shifted by npad: slice the
+    # prepad off them
+    sl = [
+        slice(None) if k in (p, q) else slice(npad, npad + orig_shape[k])
+        for k in range(ndim)
+    ]
+    xs = filtered[tuple(sl)]
+    moved = jnp.moveaxis(xs, (p, q), (ndim - 2, ndim - 1))
+    batch_shape = moved.shape[:-2]
+    flat = moved.reshape((-1,) + moved.shape[-2:])
+
+    out2 = onehot_interp.affine_onehot_batched2d(
+        flat, sub, sub_off + npad, order, mode, cval,
+        (output_shape[p], output_shape[q]),
+    )
+    if out2 is None:
+        return None
+    out = out2.reshape(batch_shape + out2.shape[1:])
+    return jnp.moveaxis(out, (ndim - 2, ndim - 1), (p, q))
 
 
 def _mask_outer_constant_general(out, coords, orig_shape, npad, mode, cval):
