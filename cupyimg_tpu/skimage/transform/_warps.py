@@ -139,6 +139,36 @@ def warp(
     if isinstance(inverse_map, np.ndarray) and inverse_map.shape == (3, 3):
         inverse_map = ProjectiveTransform(matrix=inverse_map)
 
+    # affine-form homography on a 2-D image: dispatch to
+    # ndi.affine_transform (identical math through map_coordinates, but
+    # it routes to the one-hot MXU sampler on TPU instead of a dense
+    # per-point gather).  skimage's (x, y) convention transposes to
+    # ndi's (row, col).
+    if (
+        isinstance(inverse_map, HOMOGRAPHY_TRANSFORMS)
+        and image.ndim == 2
+        and len(output_shape) == 2
+    ):
+        H = np.asarray(inverse_map.params)
+        if H.shape == (3, 3) and np.allclose(H[2], [0, 0, 1]):
+            mat_rc = np.array(
+                [[H[1, 1], H[1, 0]], [H[0, 1], H[0, 0]]]
+            )
+            off_rc = np.array([H[1, 2], H[0, 2]])
+            ndi_mode = _to_ndimage_mode(mode)
+            warped = ndi.affine_transform(
+                image,
+                mat_rc,
+                offset=off_rc,
+                output_shape=tuple(output_shape),
+                order=order,
+                mode=ndi_mode,
+                cval=cval,
+                prefilter=order > 1,
+                allow_float32=np.dtype(image.dtype) != np.float64,
+            )
+            return _clip_warp_output(image, warped, mode, cval, clip)
+
     if isinstance(inverse_map, (np.ndarray, jnp.ndarray)) and (
         jnp.asarray(inverse_map).ndim >= 2
         and jnp.asarray(inverse_map).shape[0] == image.ndim
