@@ -222,28 +222,6 @@ def _make_kernel_2d(sp0, sp1, S1, B0, sl0):
     return kernel
 
 
-def _jnp_separable(x, weights, origins, modes, cval):
-    """Plain shifted-slice separable correlate (used for the tiny
-    lane-seam strips)."""
-    for ax, w in enumerate(weights):
-        if w is None:
-            continue
-        size = len(w)
-        lo = size // 2 + origins[ax]
-        hi = size - 1 - lo
-        pw = [(0, 0)] * x.ndim
-        pw[ax] = (lo, hi)
-        xp = boundary.pad(x, pw, modes[ax], cval)
-        acc = None
-        for k in range(size):
-            sl = [slice(None)] * x.ndim
-            sl[ax] = slice(k, k + x.shape[ax])
-            term = w[k] * xp[tuple(sl)]
-            acc = term if acc is None else acc + term
-        x = acc.astype(x.dtype)
-    return x
-
-
 def fused_separable_correlate(
     x, weights, origins, modes, cval=0.0, interpret=False
 ):
