@@ -44,12 +44,22 @@ __all__ = [
 
 
 def next_fast_len(target: int) -> int:
-    """Smallest 5-smooth number >= target (XLA-FFT friendly sizes)."""
+    """Smallest FFT-friendly size >= target.
+
+    On TPU the FFT runs 5-8x faster at lane-aligned (multiple-of-64)
+    sizes than at scipy's 5-smooth sizes (e.g. 4200 takes 55 ms where
+    4224 takes 8.5 ms for an rfft2/irfft2 round trip on a 4096^2 image),
+    so the TPU backend rounds up to a multiple of 64 instead.  Other
+    backends keep the classic smallest-5-smooth rule."""
     target = int(target)
     if target <= 6:
         return max(target, 1)
     if not (target & (target - 1)):  # power of 2
         return target
+    import jax as _jax
+
+    if _jax.default_backend() == "tpu" and target > 64:
+        return -(-target // 64) * 64
     best = 1 << (target - 1).bit_length()
     p5 = 1
     while p5 < best:
