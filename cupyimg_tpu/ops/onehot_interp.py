@@ -39,6 +39,8 @@ __all__ = [
     "affine_onehot_2d",
     "affine_onehot_batched2d",
     "supports_affine",
+    "map_onehot_2d",
+    "supports_map",
 ]
 
 _BLOCK = 128
@@ -362,4 +364,216 @@ def affine_onehot_2d(
         mode,
         float(cval),
         tuple(int(s) for s in out_shape),
+    )
+
+
+_S0_BUCKETS = (8, 16, 24, 32, 48, 64, 96, 128, 192, 256, 384, 512)
+_S1_BUCKETS = (128, 256, 384, 512)
+
+
+def _bucket(v, buckets):
+    for b in buckets:
+        if v <= b:
+            return b
+    return None
+
+
+@functools.partial(
+    jax.jit, static_argnames=("B", "order", "S0", "S1", "out_shape")
+)
+def _map_onehot_core(
+    xext, rq, cq, fr, fc, lo0, lo1, B, order, S0, S1, out_shape
+):
+    """Blocked one-hot gather with per-block dynamic bbox origins.
+
+    ``rq``/``cq`` are integer base taps (floor already applied, in the
+    original frame), ``fr``/``fc`` the fractional parts — all of the
+    (padded) output shape.
+    """
+    H, W = out_shape
+    G0 = -(-H // B)
+    G1 = -(-W // B)
+
+    xg = jnp.pad(xext, ((0, S0), (0, S1)))
+
+    def to_blocks(a):
+        # edge-pad the tail: zero padding would widen edge blocks' bbox
+        # past the measured span (and past S0/S1)
+        Hp, Wp = G0 * B, G1 * B
+        a = jnp.pad(
+            a,
+            ((0, Hp - a.shape[0]), (0, Wp - a.shape[1])),
+            mode="edge",
+        )
+        return (
+            a.reshape(G0, B, G1, B)
+            .transpose(0, 2, 1, 3)
+            .reshape(G0 * G1, B, B)
+        )
+
+    rqb = to_blocks(rq + lo0)
+    cqb = to_blocks(cq + lo1)
+    frb = to_blocks(fr)
+    fcb = to_blocks(fc)
+
+    iota0 = jnp.arange(S0, dtype=jnp.int32)
+    iota1 = jnp.arange(S1, dtype=jnp.int32)
+    base_off = -1 if order == 3 else 0
+    n_taps = order + 1
+
+    def do_block(carry, blk):
+        rqi, cqi, frk, fck = blk
+        rmin = jnp.maximum(jnp.min(rqi) + base_off, 0)
+        cmin = jnp.maximum(jnp.min(cqi) + base_off, 0)
+        src = lax.dynamic_slice(xg, (rmin, cmin), (S0, S1))
+
+        rl = (rqi - rmin).reshape(-1)
+        cl = (cqi - cmin).reshape(-1)
+        wr, _ = _tap_weights(frk.reshape(-1), order)
+        wc, _ = _tap_weights(fck.reshape(-1), order)
+
+        Wrow = None
+        for k in range(n_taps):
+            t = (iota0[None, :] == (rl + base_off + k)[:, None]) * wr[
+                k
+            ][:, None]
+            Wrow = t if Wrow is None else Wrow + t
+        rows = jnp.dot(
+            Wrow, src,
+            precision=lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        Wcol = None
+        for k in range(n_taps):
+            t = (iota1[None, :] == (cl + base_off + k)[:, None]) * wc[
+                k
+            ][:, None]
+            Wcol = t if Wcol is None else Wcol + t
+        out = jnp.sum(rows * Wcol, axis=1)
+        return carry, out.reshape(B, B).astype(xext.dtype)
+
+    _, blocks = lax.scan(do_block, 0, (rqb, cqb, frb, fcb))
+    out = (
+        blocks.reshape(G0, G1, B, B)
+        .transpose(0, 2, 1, 3)
+        .reshape(G0 * B, G1 * B)
+    )
+    return out[:H, :W]
+
+
+def supports_map(x, coords, order, mode):
+    """Static eligibility checks for the one-hot map_coordinates path
+    (the dynamic locality check happens inside ``map_onehot_2d``)."""
+    if jax.default_backend() != "tpu":
+        return False
+    if x.ndim != 2 or len(coords) != 2:
+        return False
+    if np.dtype(x.dtype).kind != "f" or np.dtype(x.dtype).itemsize > 4:
+        return False
+    if isinstance(x, jax.core.Tracer) or any(
+        isinstance(c, jax.core.Tracer) for c in coords
+    ):
+        # under an outer jit the locality stats can't be pulled to host
+        return False
+    # order 0 is a single-tap gather — already as fast as the one-hot
+    # contraction, and exempt from tie-rounding subtleties
+    if order not in (1, 3):
+        return False
+    if mode not in (
+        "nearest", "reflect", "mirror", "grid-wrap",
+        "grid-mirror", "constant", "grid-constant",
+    ):
+        return False
+    r = coords[0]
+    if len(r.shape) != 2 or r.size < (1 << 18):
+        return False
+    return True
+
+
+def map_onehot_2d(x, coords, order, mode, cval):
+    """Locality-adaptive one-hot gather for dense 2-D coordinates
+    (map_coordinates / warp / optical-flow resampling).
+
+    Requires the coordinate field to be *locally smooth*: the per-block
+    source bounding box (measured on device, one host scalar pull) must
+    fit a static bucket; wildly scattered coordinates return None and
+    the dense gather path runs instead.
+    """
+    if not supports_map(x, coords, order, mode):
+        return None
+    r, c = coords
+    out_shape = r.shape
+
+    B = _BLOCK
+    if order == 0:
+        r0 = jnp.floor(r + 0.5)
+        c0 = jnp.floor(c + 0.5)
+    else:
+        r0 = jnp.floor(r)
+        c0 = jnp.floor(c)
+    fr = (r - r0).astype(jnp.float32)
+    fc = (c - c0).astype(jnp.float32)
+    rq = r0.astype(jnp.int32)
+    cq = c0.astype(jnp.int32)
+
+    # one host sync: global coordinate range (for the boundary pad) and
+    # max per-block span (for the bbox bucket)
+    G0 = -(-out_shape[0] // B)
+    G1 = -(-out_shape[1] // B)
+
+    def spans(a):
+        ap = jnp.pad(
+            a,
+            (
+                (0, G0 * B - a.shape[0]),
+                (0, G1 * B - a.shape[1]),
+            ),
+            mode="edge",
+        )
+        blk = ap.reshape(G0, B, G1, B)
+        return jnp.max(
+            blk.max(axis=(1, 3)) - blk.min(axis=(1, 3))
+        )
+
+    stats = jnp.stack(
+        [
+            spans(rq).astype(jnp.int32),
+            spans(cq).astype(jnp.int32),
+            jnp.min(rq), jnp.max(rq), jnp.min(cq), jnp.max(cq),
+        ]
+    )
+    (span0, span1, rmin_g, rmax_g, cmin_g, cmax_g) = [
+        int(v) for v in np.asarray(stats)
+    ]
+
+    margin = order + 2
+    S0 = _bucket(
+        _round_up(span0 + 2 * margin + 2, 8), _S0_BUCKETS
+    )
+    S1 = _bucket(
+        _round_up(span1 + 2 * margin + 2, 128), _S1_BUCKETS
+    )
+    if S0 is None or S1 is None:
+        return None  # coordinates not local enough
+
+    lo0 = max(0, -rmin_g + margin)
+    hi0 = max(0, rmax_g - (x.shape[0] - 1) + margin)
+    lo1 = max(0, -cmin_g + margin)
+    hi1 = max(0, cmax_g - (x.shape[1] - 1) + margin)
+    pads = [(lo0, hi0), (lo1, hi1)]
+    if any(
+        max(p) >= s for p, s in zip(pads, x.shape)
+    ) and mode not in ("constant", "grid-constant", "nearest"):
+        return None
+    if order >= 2 and mode not in ("grid-constant", "nearest"):
+        pad_mode = get_spline_mode(mode)
+    else:
+        pad_mode = mode
+    xext = boundary.pad(x, pads, pad_mode, cval)
+
+    return _map_onehot_core(
+        xext, rq, cq, fr, fc,
+        np.int32(lo0), np.int32(lo1),
+        B, int(order), int(S0), int(S1),
+        tuple(int(v) for v in out_shape),
     )

@@ -13,10 +13,12 @@ instead of the reference's (order+1)^ndim-tap kernels (ops/interp.py).
 
 from __future__ import annotations
 
+import functools
 import math
 import warnings
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from cupyimg_tpu.core import boundary as _boundary, util
@@ -87,6 +89,20 @@ def _finalize(out, out_dtype):
     return out.astype(out_dtype)
 
 
+@functools.partial(jax.jit, static_argnames=("order", "axis", "mode"))
+def _spline1d_jit(x, order, axis, mode):
+    return iir.spline_filter1d(x, order, axis, mode)
+
+
+@functools.partial(jax.jit, static_argnames=("order", "mode"))
+def _spline_all_axes_jit(x, order, mode):
+    # jitted: the IIR scan dispatched eagerly costs seconds on a relayed
+    # TPU backend (per-op dispatch), ~8 ms compiled at 2048^2
+    for axis in range(x.ndim):
+        x = iir.spline_filter1d(x, order, axis, mode)
+    return x
+
+
 def spline_filter1d(
     input, order=3, axis=-1, output=np.float64, mode="mirror", *,
     allow_float32=True,
@@ -100,7 +116,7 @@ def spline_filter1d(
     if order < 2 or x.ndim == 0 or x.shape[util.check_axis(axis, max(x.ndim, 1))] == 1:
         return x.astype(out_dtype)
     work = np.promote_types(out_dtype, _float_work_dtype(x.dtype, allow_float32))
-    y = iir.spline_filter1d(
+    y = _spline1d_jit(
         x.astype(work), order, util.check_axis(axis, x.ndim), mode
     )
     return y.astype(out_dtype)
@@ -117,8 +133,7 @@ def spline_filter(
     work = np.promote_types(out_dtype, _float_work_dtype(x.dtype, allow_float32))
     y = x.astype(work)
     if x.ndim > 0:
-        for axis in range(x.ndim):
-            y = iir.spline_filter1d(y, order, axis, mode)
+        y = _spline_all_axes_jit(y, order, mode)
     return y.astype(out_dtype)
 
 
@@ -144,9 +159,7 @@ def _prefiltered(x, order, mode, cval, prefilter, allow_float32):
     x = x.astype(work)
     if prefilter and order > 1:
         padded, npad = _prepad_for_spline_filter(x, mode, cval)
-        y = padded
-        for axis in range(y.ndim):
-            y = iir.spline_filter1d(y, order, axis, mode)
+        y = _spline_all_axes_jit(padded, order, mode)
         return y, npad
     return x, 0
 
@@ -191,6 +204,23 @@ def map_coordinates(
     filtered, npad = _prefiltered(x, order, mode, cval, prefilter,
                                   allow_float32)
     coords = [coordinates[j] + npad for j in range(x.ndim)]
+    if x.ndim == 2 and coordinates.ndim == 3:
+        from cupyimg_tpu.ops import onehot_interp
+        # Locality-adaptive one-hot MXU gather: XLA's dense 2-D gather is
+        # ~0.7 GB/s on TPU; smooth coordinate fields (warps, optical flow)
+        # instead go through per-block bbox dynamic slices + one-hot
+        # contractions.  Returns None for non-local / unsupported cases.
+        out = onehot_interp.map_onehot_2d(filtered, coords, order, mode,
+                                          cval)
+        if out is not None:
+            if mode == "constant":
+                mask = (
+                    (coords[0] < 0) | (coords[0] > filtered.shape[0] - 1)
+                    | (coords[1] < 0) | (coords[1] > filtered.shape[1] - 1)
+                )
+                out = jnp.where(mask, jnp.asarray(cval, dtype=out.dtype),
+                                out)
+            return _finalize(out, out_dtype)
     out = interp.gather_general(filtered, coords, order, mode, cval)
     return _finalize(out, out_dtype)
 

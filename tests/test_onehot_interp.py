@@ -9,6 +9,7 @@ import numpy as np
 import pytest
 import scipy.ndimage as sndi
 
+import jax
 import jax.numpy as jnp
 
 import cupyimg_tpu.ops.onehot_interp as oh
@@ -121,3 +122,131 @@ class TestOneHotAffine:
         assert not oh.supports_affine(
             jnp.zeros((8, 8, 8), jnp.float32), MAT, 1
         )
+
+
+class TestMapOnehot:
+    """Locality-adaptive one-hot map_coordinates path (CPU, gate patched)."""
+
+    @pytest.fixture(autouse=True)
+    def force_map_onehot(self, monkeypatch):
+        real = oh.supports_map
+
+        def patched(x, coords, order, mode):
+            if x.ndim != 2 or len(coords) != 2:
+                return False
+            if isinstance(x, jax.core.Tracer) or any(
+                isinstance(c, jax.core.Tracer) for c in coords
+            ):
+                return False
+            if order not in (1, 3):
+                return False
+            if mode not in (
+                "nearest", "reflect", "mirror", "grid-wrap",
+                "grid-mirror", "constant", "grid-constant",
+            ):
+                return False
+            return True
+
+        monkeypatch.setattr(oh, "supports_map", patched)
+        yield
+        monkeypatch.setattr(oh, "supports_map", real)
+
+    def _field(self, H, W):
+        rr, cc = np.mgrid[0:H, 0:W].astype(np.float32)
+        r = rr + 3.0 * np.sin(cc / 17.0) - 2.0
+        c = cc + 4.0 * np.cos(rr / 23.0) + 1.5
+        return np.stack([r, c])
+
+    @pytest.mark.parametrize("order", [1, 3])
+    @pytest.mark.parametrize(
+        "mode",
+        ["nearest", "constant", "grid-constant", "reflect", "mirror",
+         "grid-wrap"],
+    )
+    def test_modes_vs_scipy(self, order, mode):
+        rng = np.random.RandomState(0)
+        x = rng.rand(180, 200).astype(np.float32)
+        coords = self._field(*x.shape)
+        got = np.asarray(
+            ndi.map_coordinates(
+                jnp.asarray(x), jnp.asarray(coords), order=order,
+                mode=mode, cval=0.3,
+            )
+        )
+        exp = sndi.map_coordinates(
+            x.astype(np.float64), coords.astype(np.float64), order=order,
+            mode=mode, cval=0.3,
+        )
+        assert np.abs(got - exp).max() < 2e-5
+
+    def test_far_out_of_domain(self):
+        rng = np.random.RandomState(1)
+        x = rng.rand(150, 150).astype(np.float32)
+        rr, cc = np.mgrid[0:150, 0:150].astype(np.float32)
+        for shift, mode in [
+            (-170.0, "nearest"), (300.0, "constant"), (-170.0, "grid-wrap"),
+        ]:
+            coords = np.stack([rr + shift, cc - shift / 2])
+            got = np.asarray(
+                ndi.map_coordinates(
+                    jnp.asarray(x), jnp.asarray(coords), order=1,
+                    mode=mode, cval=0.25,
+                )
+            )
+            exp = sndi.map_coordinates(
+                x.astype(np.float64), coords.astype(np.float64), order=1,
+                mode=mode, cval=0.25,
+            )
+            assert np.abs(got - exp).max() < 2e-6, mode
+
+    def test_nonsquare_output_shape(self):
+        rng = np.random.RandomState(2)
+        x = rng.rand(130, 277).astype(np.float32)
+        rr, cc = np.mgrid[0:301, 0:99].astype(np.float32)
+        coords = np.stack([rr * 0.41 + 2.3 * np.sin(cc / 7), cc * 2.7 - 1.1])
+        got = np.asarray(
+            ndi.map_coordinates(
+                jnp.asarray(x), jnp.asarray(coords), order=3, mode="reflect"
+            )
+        )
+        exp = sndi.map_coordinates(
+            x.astype(np.float64), coords.astype(np.float64), order=3,
+            mode="reflect",
+        )
+        assert np.abs(got - exp).max() < 2e-6
+
+    def test_scattered_coords_fall_back(self):
+        # per-block span exceeds every bucket -> path declines (None) and
+        # map_coordinates still returns the gather result
+        rng = np.random.RandomState(3)
+        x = rng.rand(700, 700).astype(np.float32)
+        coords = rng.rand(2, 256, 256).astype(np.float32) * 699
+        r = oh.map_onehot_2d(
+            jnp.asarray(x),
+            [jnp.asarray(coords[0]), jnp.asarray(coords[1])],
+            1, "nearest", 0.0,
+        )
+        assert r is None
+        got = np.asarray(
+            ndi.map_coordinates(
+                jnp.asarray(x), jnp.asarray(coords), order=1, mode="nearest"
+            )
+        )
+        exp = sndi.map_coordinates(
+            x.astype(np.float64), coords.astype(np.float64), order=1,
+            mode="nearest",
+        )
+        assert np.abs(got - exp).max() < 2e-6
+
+    def test_tracer_declines(self):
+        x = jnp.zeros((600, 600), np.float32)
+        rr, cc = np.mgrid[0:600, 0:600].astype(np.float32)
+
+        @jax.jit
+        def f(img, r, c):
+            out = ndi.map_coordinates(img, jnp.stack([r, c]), order=1,
+                                      mode="nearest")
+            return out
+
+        # must trace through (gate declines tracers) without error
+        f(x, jnp.asarray(rr), jnp.asarray(cc))
