@@ -15,6 +15,7 @@ import math
 import timeit
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -210,11 +211,17 @@ def oaconvolve(in1, in2, mode="full", axes=None):
                                           sorted_axes=True)
     s1, s2 = in1.shape, in2.shape
 
-    # pick the axis where overlap-add pays off the most
+    # pick the axis where overlap-add pays off the most.  On TPU a single
+    # big FFT beats blocking until the axis is genuinely long (measured:
+    # 4096^2 k31 runs 67 ms blocked vs 25 ms whole; a 4M-point 1-D conv
+    # runs 18 ms blocked vs 399 ms whole) — XLA's FFT falls off a cliff
+    # only for very long transforms, while the blocked form pays batched
+    # small-FFT and fold overheads.
+    min_long = 32768 if jax.default_backend() == "tpu" else 0
     best_axis, best_ratio = None, 4.0  # require >= 4x to block
     for a in axes:
         lo, hi = sorted((s1[a], s2[a]))
-        if lo > 1 and hi / lo > best_ratio:
+        if lo > 1 and hi / lo > best_ratio and hi >= min_long:
             best_axis, best_ratio = a, hi / lo
     if best_axis is None:
         return fftconvolve(in1, in2, mode=mode, axes=axes)
