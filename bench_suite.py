@@ -163,6 +163,24 @@ def main():
              jnp.mgrid[0:128, 0:128, 0:128].astype(jnp.float32),
              order=1,
          )))
+    # smooth 2-D dense warp -> locality-adaptive one-hot gather
+    _rr, _cc = np.mgrid[0:2048, 0:2048].astype(np.float32)
+    warp_coords = jnp.asarray(np.stack([
+        _rr + 11.0 * np.sin(_cc / 97.0) + 5.0 * np.cos(_rr / 53.0),
+        _cc + 9.0 * np.cos(_rr / 71.0) - 4.0 * np.sin(_cc / 89.0),
+    ]))
+    for order in (1, 3):
+        emit(
+            f"map_coords_2d_2048_warp_order{order}",
+            _warm_ms(
+                lambda o=order: ndi.map_coordinates(
+                    img[:2048, :2048], warp_coords, order=o,
+                    mode="reflect",
+                ),
+                reps=3,
+            ),
+            2048 * 2048 * 4 * 2 / 1e9,
+        )
 
     # --- FFT / signal suite ------------------------------------------------
     k2 = jnp.asarray(rng.randn(31, 31).astype(np.float32))
@@ -174,6 +192,11 @@ def main():
                    img, n1=2, n2=8), nb2)
     sig = jnp.asarray(rng.randn(1 << 20).astype(np.float32))
     h = jnp.asarray(rng.randn(101).astype(np.float32))
+    long1d = jnp.asarray(rng.randn(1 << 22).astype(np.float32))
+    h257 = jnp.asarray(rng.randn(257).astype(np.float32))
+    emit("oaconvolve_1d_4M_k257",
+         _warm_ms(lambda: signal.oaconvolve(long1d, h257, mode="same"),
+                  reps=3))
     emit("upfirdn_1M_h101_up2_down3",
          _warm_ms(lambda: signal.upfirdn(h, sig, up=2, down=3)))
     emit("resample_poly_1M_2_3",
