@@ -37,11 +37,14 @@ def _slope_ms(fn, x, n1=4, n2=24, reps=3):
     timed(n1)
     timed(n2)
     slopes = []
-    for _ in range(reps):
+    for _ in range(reps + 2):
         t1 = timed(n1)
         t2 = timed(n2)
         slopes.append((t2 - t1) / (n2 - n1))
-    return float(np.median(slopes))
+    # relay jitter can produce negative two-point slopes; they carry no
+    # information about the op, so drop them before taking the median
+    pos = [s for s in slopes if s > 0]
+    return float(np.median(pos if pos else slopes))
 
 
 _SYNC_FLOOR = None
@@ -66,14 +69,28 @@ def _readback(out):
         float(jnp.real(jnp.asarray(leaf)).ravel()[0])
 
 
-def _warm_ms(fn, reps=5):
+def _warm_ms(fn, reps=3, n1=1, n2=5):
+    """Eager two-point slope: time n1 and n2 back-to-back calls with one
+    readback each; the difference cancels the relay sync floor, which
+    drifts too much to subtract as a separately measured constant."""
     _readback(fn())  # compile
-    ts = []
-    for _ in range(reps):
+
+    def run(n):
         t0 = time.perf_counter()
-        _readback(fn())
-        ts.append((time.perf_counter() - t0) * 1e3)
-    return max(0.0, float(np.median(ts)) - _sync_floor_ms())
+        out = None
+        for _ in range(n):
+            out = fn()
+        _readback(out)
+        return (time.perf_counter() - t0) * 1e3
+
+    run(n1)
+    run(n2)
+    slopes = []
+    for _ in range(reps):
+        t1 = run(n1)
+        t2 = run(n2)
+        slopes.append((t2 - t1) / (n2 - n1))
+    return max(0.0, float(np.median(slopes)))
 
 
 def emit(name, ms, nbytes=None):
@@ -179,7 +196,6 @@ def main():
                 ),
                 reps=3,
             ),
-            2048 * 2048 * 4 * 2 / 1e9,
         )
 
     # --- FFT / signal suite ------------------------------------------------

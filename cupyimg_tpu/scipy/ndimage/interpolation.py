@@ -382,13 +382,15 @@ def _try_batched_plane_onehot(
     zero offsets elsewhere) — e.g. ``rotate`` on a volume: move the
     coupled plane last, batch the rest, and run the shared-weights
     one-hot MXU sampler.  Exact because tensor-product spline
-    evaluation factorizes across independent coordinate axes."""
+    evaluation factorizes across independent coordinate axes: for
+    order >= 2 the identity axes apply the B-spline reconstruction
+    kernel at integer coordinates (e.g. [1/6, 4/6, 1/6] for cubic)
+    as a plain 1-D correlation of the coefficient array."""
     ndim = filtered.ndim
-    if order > 1:
-        # identity axes still need the 1-D spline reconstruction of
-        # the coefficient array at integer coordinates for order >= 2;
-        # only the order <= 1 case reduces to a plain slice
-        return None
+    if order not in (0, 1, 3):
+        return None  # mirror the sampler's gate before any real work
+    if order > 1 and mode == "wrap":
+        return None  # legacy wrap premaps coords; sampler declines it
     coupled = [
         j
         for j in range(ndim)
@@ -415,13 +417,36 @@ def _try_batched_plane_onehot(
         if k not in (p, q) and output_shape[k] != orig_shape[k]:
             return None
 
+    xs = filtered
+    if order > 1:
+        # spline reconstruction along identity axes: integer-coordinate
+        # evaluation of the tensor-product spline is a fixed small
+        # correlation of the prefiltered coefficients.  With prepadding
+        # (npad > 0) every tap is in-bounds for the kept interior; with
+        # exact-boundary prefilters (npad == 0) fold with the spline's
+        # boundary family, as axis_taps would.
+        from cupyimg_tpu.scipy.ndimage.filters import correlate1d
+
+        w = [
+            float(v[0])
+            for v in interp.spline_weights(jnp.zeros((1,)), order)
+        ]
+        tap_mode = iir.get_spline_mode(mode) if npad == 0 else "nearest"
+        for ax in range(ndim):
+            if ax in (p, q):
+                continue
+            xs = correlate1d(
+                xs, w, axis=ax, mode=tap_mode, cval=cval,
+                origin=-(order % 2),
+            )
+
     # identity axes read at integer coords shifted by npad: slice the
     # prepad off them
     sl = [
         slice(None) if k in (p, q) else slice(npad, npad + orig_shape[k])
         for k in range(ndim)
     ]
-    xs = filtered[tuple(sl)]
+    xs = xs[tuple(sl)]
     moved = jnp.moveaxis(xs, (p, q), (ndim - 2, ndim - 1))
     batch_shape = moved.shape[:-2]
     flat = moved.reshape((-1,) + moved.shape[-2:])

@@ -250,3 +250,99 @@ class TestMapOnehot:
 
         # must trace through (gate declines tracers) without error
         f(x, jnp.asarray(rr), jnp.asarray(cc))
+
+
+class TestBatchedPlaneOnehot:
+    """nd affine with one coupled plane -> batched one-hot sampler,
+    incl. order >= 2 spline reconstruction along identity axes."""
+
+    @pytest.fixture(autouse=True)
+    def force_plane_onehot(self, monkeypatch):
+        real = oh.supports_affine
+
+        def patched(x, matrix, order):
+            m = np.asarray(matrix)
+            return (
+                x.ndim == 2 and m.shape == (2, 2)
+                and order in (0, 1, 3)
+                and np.dtype(x.dtype).kind == "f"
+            )
+
+        monkeypatch.setattr(oh, "supports_affine", patched)
+        yield
+        monkeypatch.setattr(oh, "supports_affine", real)
+
+    def _vol(self):
+        return np.random.RandomState(0).rand(20, 48, 52).astype(np.float32)
+
+    @pytest.mark.parametrize("order", [1, 3])
+    @pytest.mark.parametrize(
+        "mode",
+        ["constant", "nearest", "reflect", "mirror", "grid-wrap",
+         "grid-constant"],
+    )
+    def test_plane_rotation_vs_scipy(self, order, mode):
+        vol = self._vol()
+        c, s = np.cos(0.3), np.sin(0.3)
+        M = np.eye(3)
+        M[1, 1], M[1, 2], M[2, 1], M[2, 2] = c, -s, s, c
+        off = np.array([0.0, 3.2, -1.7])
+        got = np.asarray(
+            ndi.affine_transform(
+                jnp.asarray(vol), M, off, order=order, mode=mode, cval=0.4
+            )
+        )
+        exp = sndi.affine_transform(
+            vol.astype(np.float64), M, off, order=order, mode=mode,
+            cval=0.4,
+        )
+        assert np.abs(got - exp).max() < 5e-5
+
+    def test_spy_confirms_path_taken(self, monkeypatch):
+        calls = {"n": 0}
+        real = oh.affine_onehot_batched2d
+
+        def spy(*a, **k):
+            r = real(*a, **k)
+            if r is not None:
+                calls["n"] += 1
+            return r
+
+        monkeypatch.setattr(oh, "affine_onehot_batched2d", spy)
+        vol = self._vol()
+        M = np.eye(3)
+        c, s = np.cos(0.2), np.sin(0.2)
+        M[0, 0], M[0, 2], M[2, 0], M[2, 2] = c, -s, s, c
+        got = np.asarray(
+            ndi.affine_transform(jnp.asarray(vol), M, order=3,
+                                 mode="mirror")
+        )
+        assert calls["n"] == 1
+        exp = sndi.affine_transform(vol.astype(np.float64), M, order=3,
+                                    mode="mirror")
+        assert np.abs(got - exp).max() < 5e-5
+
+    def test_rotate_volume(self):
+        vol = self._vol()
+        got = np.asarray(
+            ndi.rotate(jnp.asarray(vol), 17.0, axes=(1, 2), reshape=True,
+                       order=3)
+        )
+        exp = sndi.rotate(vol.astype(np.float64), 17.0, axes=(1, 2),
+                          reshape=True, order=3)
+        assert got.shape == exp.shape
+        assert np.abs(got - exp).max() < 5e-5
+
+    def test_even_orders_fall_back_correctly(self):
+        vol = self._vol()
+        M = np.eye(3)
+        c, s = np.cos(0.3), np.sin(0.3)
+        M[1, 1], M[1, 2], M[2, 1], M[2, 2] = c, -s, s, c
+        for order in (2, 4):
+            got = np.asarray(
+                ndi.affine_transform(jnp.asarray(vol), M, order=order,
+                                     mode="reflect")
+            )
+            exp = sndi.affine_transform(vol.astype(np.float64), M,
+                                        order=order, mode="reflect")
+            assert np.abs(got - exp).max() < 5e-5
