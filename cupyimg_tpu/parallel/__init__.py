@@ -19,4 +19,5 @@ from cupyimg_tpu.parallel.halo import (  # noqa: F401
     sharded_maximum_filter,
     sharded_median_filter,
     sharded_fftconvolve,
+    sharded_label,
 )

@@ -127,3 +127,40 @@ def test_sharded_fftconvolve_batch():
         parallel.sharded_fftconvolve(
             xg, jnp.asarray(k), mesh, P(None, "batch", None)
         )
+
+
+@pytest.mark.parametrize("connectivity_box", [False, True])
+def test_sharded_label_2d(connectivity_box):
+    mesh = _mesh((8,), ("x",))
+    spec = P("x", None)
+    rng = np.random.RandomState(3)
+    x = rng.rand(64, 50) > 0.6
+    structure = np.ones((3, 3)) if connectivity_box else None
+    xg = jax.device_put(jnp.asarray(x), NamedSharding(mesh, spec))
+    lab, num = parallel.sharded_label(xg, mesh, spec, structure=structure)
+    exp, enum = ndi.label(x, structure=structure)
+    assert int(num) == enum
+    np.testing.assert_array_equal(np.asarray(lab), exp)
+
+
+def test_sharded_label_3d_spanning_components():
+    mesh = _mesh((8,), ("x",))
+    spec = P("x", None, None)
+    # a snake crossing every shard boundary forces multi-round merging
+    x = np.zeros((32, 9, 7), bool)
+    x[:, 4, 3] = True          # vertical column through all shards
+    x[::3, :, 3] = True        # combs off the column
+    x[5, 1, 1] = True          # isolated voxel
+    xg = jax.device_put(jnp.asarray(x), NamedSharding(mesh, spec))
+    lab, num = parallel.sharded_label(xg, mesh, spec)
+    exp, enum = ndi.label(x)
+    assert int(num) == enum
+    np.testing.assert_array_equal(np.asarray(lab), exp)
+
+
+def test_sharded_label_validates_spec():
+    mesh = _mesh((8,), ("x",))
+    with pytest.raises(ValueError):
+        parallel.sharded_label(
+            jnp.zeros((16, 16)), mesh, P(None, "x")
+        )
