@@ -164,6 +164,47 @@ def _prefiltered(x, order, mode, cval, prefilter, allow_float32):
     return x, 0
 
 
+@functools.partial(jax.jit, static_argnames=("order", "mode"))
+def _gather_separable_jit(x, coords_1d, cval, order, mode):
+    return interp.gather_separable(x, list(coords_1d), order, mode, cval)
+
+
+def _separable_coords(coordinates, ndim):
+    """If every coords[j] varies only along output axis j, return the 1-D
+    per-axis coordinate vectors (one host sync); else None.
+
+    TPU-gated: XLA's dense n-D gather runs far below the separable
+    per-axis engine there, so the one-sync test pays for itself; other
+    backends skip it."""
+    import jax as _jax
+
+    if _jax.default_backend() != "tpu":
+        return None
+    # ndim >= 3 only: 2-D dense coords go to the one-hot path, and the
+    # probe's host sync would tax every non-separable 2-D call
+    if coordinates.ndim != ndim + 1 or ndim < 3:
+        return None
+    if coordinates.size < (1 << 18):
+        return None
+    if isinstance(coordinates, jax.core.Tracer):
+        return None
+    checks = []
+    refs = []
+    for j in range(ndim):
+        c = coordinates[j]
+        sl = tuple(
+            0 if k != j else slice(None) for k in range(ndim)
+        )
+        ref = c[sl]
+        shape = [1] * ndim
+        shape[j] = -1
+        checks.append(jnp.all(c == ref.reshape(shape)))
+        refs.append(ref)
+    if not bool(jnp.all(jnp.stack(checks))):
+        return None
+    return refs
+
+
 def map_coordinates(
     input,
     coordinates,
@@ -204,6 +245,16 @@ def map_coordinates(
     filtered, npad = _prefiltered(x, order, mode, cval, prefilter,
                                   allow_float32)
     coords = [coordinates[j] + npad for j in range(x.ndim)]
+    sep = _separable_coords(coordinates, x.ndim)
+    if sep is not None:
+        # coords[j] varies only along output axis j (mgrid-built zoom /
+        # shift / per-axis resample grids): run the per-axis separable
+        # engine — (order+1)*ndim 1-D takes instead of a dense gather
+        out = _gather_separable_jit(
+            filtered, tuple(c + npad for c in sep),
+            jnp.asarray(cval), order, mode,
+        )
+        return _finalize(out, out_dtype)
     if x.ndim == 2 and coordinates.ndim == 3:
         from cupyimg_tpu.ops import onehot_interp
         # Locality-adaptive one-hot MXU gather: XLA's dense 2-D gather is

@@ -208,3 +208,47 @@ class TestShiftZoomRotate:
         got = tinterp.zoom(x, 1.5, order=1, allow_float32=False)
         exp = ndi.zoom(x, 1.5, order=1)
         np.testing.assert_array_equal(np.asarray(got), exp)
+
+
+class TestSeparableCoordsProbe:
+    """map_coordinates detects mgrid-style separable coordinate grids and
+    routes them through the per-axis engine (TPU-gated; gate patched)."""
+
+    @pytest.fixture(autouse=True)
+    def pretend_tpu(self, monkeypatch):
+        import jax
+
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        yield
+
+    def test_separable_grid_matches_scipy(self):
+        import jax.numpy as jnp
+
+        rng = np.random.RandomState(0)
+        x = rng.rand(60, 62, 64).astype(np.float32)
+        g = np.mgrid[0:60, 0:62, 0:64].astype(np.float32)
+        g = g * np.array([0.83, 1.07, 0.99]).reshape(3, 1, 1, 1) - 0.7
+        for order, mode in [(1, "nearest"), (3, "mirror"),
+                            (1, "constant"), (0, "grid-wrap")]:
+            got = np.asarray(
+                tinterp.map_coordinates(
+                    jnp.asarray(x), jnp.asarray(g), order=order,
+                    mode=mode, cval=0.3,
+                )
+            )
+            exp = ndi.map_coordinates(
+                x.astype(np.float64), g.astype(np.float64), order=order,
+                mode=mode, cval=0.3,
+            )
+            assert np.abs(got - exp).max() < 5e-5, (order, mode)
+
+    def test_probe_declines_nonseparable(self):
+        import jax.numpy as jnp
+
+        g = np.mgrid[0:64, 0:64, 0:64].astype(np.float32)
+        g[0] += 0.01 * g[1]  # couples axes
+        sep = tinterp._separable_coords(jnp.asarray(g), 3)
+        assert sep is None
+        gsep = np.mgrid[0:64, 0:64, 0:64].astype(np.float32) * 1.25
+        sep = tinterp._separable_coords(jnp.asarray(gsep), 3)
+        assert sep is not None and len(sep) == 3
