@@ -8,9 +8,11 @@ chain of small ``tensordot`` contractions, which XLA schedules on the MXU
 
 from __future__ import annotations
 
+import functools
 import math
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from .._shared.fft import fftmodule as fft
@@ -124,46 +126,23 @@ def _compute_error(ccmax_real, ccmax_imag, src_amp, target_amp):
     return jnp.sqrt(jnp.abs(error))
 
 
-def phase_cross_correlation(
-    reference_image,
-    moving_image,
-    *,
-    upsample_factor=1,
-    space="real",
-    return_error=True,
-    reference_mask=None,
-    moving_mask=None,
-    overlap_ratio=0.3,
+@functools.partial(
+    jax.jit,
+    static_argnames=("upsample_factor", "return_error", "fourier_space"),
+)
+def _pcc_core(
+    reference_image, moving_image, upsample_factor, return_error,
+    fourier_space,
 ):
-    """Efficient subpixel image translation registration by
-    cross-correlation (skimage parity; reference
-    _phase_cross_correlation.py:120-320).
-
-    Returns ``shifts`` (and ``error``, ``phasediff`` if
-    ``return_error``); with masks, dispatches to the Padfield masked NCC.
-    """
-    if (reference_mask is not None) or (moving_mask is not None):
-        return _masked_phase_cross_correlation(
-            reference_image,
-            moving_image,
-            reference_mask,
-            moving_mask,
-            overlap_ratio,
-        )
-
-    reference_image = jnp.asarray(reference_image)
-    moving_image = jnp.asarray(moving_image)
-    if reference_image.shape != moving_image.shape:
-        raise ValueError("images must be same shape")
-
-    if space.lower() == "fourier":
+    """The whole registration pipeline as ONE compiled computation:
+    FFTs, correlation peak, matrix-multiply DFT refinement.  Eagerly
+    dispatched this chain costs ~15 device round trips per call."""
+    if fourier_space:
         src_freq = reference_image
         target_freq = moving_image
-    elif space.lower() == "real":
+    else:
         src_freq = fft.fftn(reference_image)
         target_freq = fft.fftn(moving_image)
-    else:
-        raise ValueError('space argument must be "real" of "fourier"')
 
     # Whole-pixel shift - cross-correlation by an IFFT
     shape = src_freq.shape
@@ -234,26 +213,72 @@ def phase_cross_correlation(
     if singleton.any():
         shifts = jnp.where(jnp.asarray(singleton), 0.0, shifts)
 
-    if return_error:
-        nan_found = (
-            jnp.isnan(ccmax_re)
-            | jnp.isnan(ccmax_im)
-            | jnp.isnan(src_amp)
-            | jnp.isnan(target_amp)
+    if not return_error:
+        return shifts, None, None, None
+    nan_found = (
+        jnp.isnan(ccmax_re)
+        | jnp.isnan(ccmax_im)
+        | jnp.isnan(src_amp)
+        | jnp.isnan(target_amp)
+    )
+    return (
+        shifts,
+        _compute_error(ccmax_re, ccmax_im, src_amp, target_amp),
+        _compute_phasediff(ccmax_re, ccmax_im),
+        nan_found,
+    )
+
+
+def phase_cross_correlation(
+    reference_image,
+    moving_image,
+    *,
+    upsample_factor=1,
+    space="real",
+    return_error=True,
+    reference_mask=None,
+    moving_mask=None,
+    overlap_ratio=0.3,
+):
+    """Efficient subpixel image translation registration by
+    cross-correlation (skimage parity; reference
+    _phase_cross_correlation.py:120-320).
+
+    Returns ``shifts`` (and ``error``, ``phasediff`` if
+    ``return_error``); with masks, dispatches to the Padfield masked NCC.
+    """
+    if (reference_mask is not None) or (moving_mask is not None):
+        return _masked_phase_cross_correlation(
+            reference_image,
+            moving_image,
+            reference_mask,
+            moving_mask,
+            overlap_ratio,
         )
-        if bool(nan_found):
-            raise ValueError(
-                "NaN values found, please remove NaNs from your "
-                "input data or use the `reference_mask`/`moving_mask` "
-                "keywords, eg: "
-                "phase_cross_correlation(reference_image, moving_image, "
-                "reference_mask=~np.isnan(reference_image), "
-                "moving_mask=~np.isnan(moving_image))"
-            )
-        return (
-            shifts,
-            _compute_error(ccmax_re, ccmax_im, src_amp, target_amp),
-            _compute_phasediff(ccmax_re, ccmax_im),
-        )
-    else:
+
+    reference_image = jnp.asarray(reference_image)
+    moving_image = jnp.asarray(moving_image)
+    if reference_image.shape != moving_image.shape:
+        raise ValueError("images must be same shape")
+    if space.lower() not in ("real", "fourier"):
+        raise ValueError('space argument must be "real" of "fourier"')
+
+    shifts, error, phasediff, nan_found = _pcc_core(
+        reference_image,
+        moving_image,
+        int(upsample_factor),
+        bool(return_error),
+        space.lower() == "fourier",
+    )
+    if not return_error:
         return shifts
+    if bool(nan_found):
+        raise ValueError(
+            "NaN values found, please remove NaNs from your "
+            "input data or use the `reference_mask`/`moving_mask` "
+            "keywords, eg: "
+            "phase_cross_correlation(reference_image, moving_image, "
+            "reference_mask=~np.isnan(reference_image), "
+            "moving_mask=~np.isnan(moving_image))"
+        )
+    return shifts, error, phasediff
