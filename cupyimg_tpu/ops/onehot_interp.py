@@ -46,6 +46,29 @@ __all__ = [
 _BLOCK = 128
 _MAX_SRC = 512  # per-block source bbox edge cap
 
+# When True, skip the Pallas kernel (ops/pallas_interp.py) and run the
+# XLA lax.scan core even on TPU — testing/debug escape hatch.
+_FORCE_XLA_CORE = False
+
+
+def _dispatch_core(xext, lo0, lo1, mshape, order, mode, cval, out_shape):
+    """Run the Pallas kernel when eligible, else the XLA scan core."""
+    if not _FORCE_XLA_CORE:
+        from cupyimg_tpu.ops import pallas_interp
+
+        if pallas_interp.supports_pallas_affine(order):
+            try:
+                return pallas_interp.affine_pallas(
+                    xext, int(lo0), int(lo1), mshape, int(order),
+                    tuple(out_shape),
+                )
+            except ValueError:
+                pass  # spans exceed slab caps: scan core handles it
+    return _affine_onehot_core(
+        xext, np.int32(lo0), np.int32(lo1), mshape, int(order), mode,
+        float(cval), tuple(int(v) for v in out_shape),
+    )
+
 
 def _excursion(matrix, offset, out_shape, in_shape, margin):
     """Static per-axis (lo, hi) padding covering every source coord."""
@@ -290,14 +313,8 @@ def affine_onehot_batched2d(
         float(matrix[1, 0]), float(matrix[1, 1]),
         float(offset[0]), float(offset[1]),
     )
-    return _affine_onehot_core(
-        xext,
-        np.int32(pads[0][0]),
-        np.int32(pads[1][0]),
-        mshape,
-        int(order),
-        mode,
-        float(cval),
+    return _dispatch_core(
+        xext, pads[0][0], pads[1][0], mshape, order, mode, cval,
         tuple(int(v) for v in out_shape),
     )
 
@@ -355,14 +372,8 @@ def affine_onehot_2d(
         float(offset[0]),
         float(offset[1]),
     )
-    return _affine_onehot_core(
-        xext,
-        np.int32(pads[0][0]),
-        np.int32(pads[1][0]),
-        mshape,
-        int(order),
-        mode,
-        float(cval),
+    return _dispatch_core(
+        xext, pads[0][0], pads[1][0], mshape, order, mode, cval,
         tuple(int(s) for s in out_shape),
     )
 
@@ -570,6 +581,23 @@ def map_onehot_2d(x, coords, order, mode, cval):
     else:
         pad_mode = mode
     xext = boundary.pad(x, pads, pad_mode, cval)
+
+    if not _FORCE_XLA_CORE and jax.default_backend() == "tpu":
+        from cupyimg_tpu.ops import pallas_interp
+
+        # Pallas slabs: span per 64x64 tile <= span per 128x128 block
+        # (measured above), plus tap footprint and the 8/128 DMA
+        # alignment slack the kernel's origin rounding introduces
+        S0p = _round_up(span0 + 2 * margin + 2 + 8, 8)
+        S1p = _round_up(span1 + 2 * margin + 2 + 128, 128)
+        if S0p <= 512 and S1p <= 512:
+            zero = jnp.zeros_like(fr)
+            return pallas_interp.map_pallas(
+                xext, rq + lo0, cq + lo1,
+                fr if order else zero, fc if order else zero,
+                int(order), tuple(int(v) for v in out_shape),
+                int(S0p), int(S1p),
+            )
 
     return _map_onehot_core(
         xext, rq, cq, fr, fc,
