@@ -91,13 +91,21 @@ def _finalize(out, out_dtype):
 
 @functools.partial(jax.jit, static_argnames=("order", "axis", "mode"))
 def _spline1d_jit(x, order, axis, mode):
+    y = iir.spline_filter_fir(x, order, (axis,), mode)
+    if y is not None:
+        return y
     return iir.spline_filter1d(x, order, axis, mode)
 
 
 @functools.partial(jax.jit, static_argnames=("order", "mode"))
 def _spline_all_axes_jit(x, order, mode):
-    # jitted: the IIR scan dispatched eagerly costs seconds on a relayed
-    # TPU backend (per-op dispatch), ~8 ms compiled at 2048^2
+    # TPU: all axes (and poles) as fused separable symmetric FIRs —
+    # one Pallas pass per pole (ops/iir.spline_filter_fir)
+    y = iir.spline_filter_fir(x, order, tuple(range(x.ndim)), mode)
+    if y is not None:
+        return y
+    # CPU / fallback: exact sequential IIR scans (per-axis, per-pole);
+    # jitted because eager dispatch costs seconds on a relayed backend
     for axis in range(x.ndim):
         x = iir.spline_filter1d(x, order, axis, mode)
     return x
