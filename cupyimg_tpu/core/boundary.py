@@ -109,6 +109,36 @@ def map_indices(idx, n: int, mode: str):
     raise RuntimeError(f"boundary mode not supported (actual: {mode})")
 
 
+def map_indices_np(idx, n: int, mode: str):
+    """NumPy twin of :func:`map_indices` for trace-time constant tables
+    (e.g. the banded lane matrices in ops/pallas_stencil.py); returns
+    (mapped, oob) with ``oob`` always a boolean array."""
+    import numpy as _np
+
+    idx = _np.asarray(idx)
+    oob = _np.zeros(idx.shape, bool)
+    if mode in ("reflect", "grid-mirror"):
+        if n == 1:
+            return _np.zeros_like(idx), oob
+        period = 2 * n
+        im = idx % period
+        return _np.where(im < n, im, period - 1 - im), oob
+    if mode == "mirror":
+        if n == 1:
+            return _np.zeros_like(idx), oob
+        period = 2 * n - 2
+        im = idx % period
+        return _np.where(im < n, im, period - im), oob
+    if mode == "nearest":
+        return _np.clip(idx, 0, n - 1), oob
+    if mode in ("wrap", "grid-wrap"):
+        return idx % n, oob
+    if mode in _CONSTANT_MODES:
+        oob = (idx < 0) | (idx >= n)
+        return _np.clip(idx, 0, n - 1), oob
+    raise RuntimeError(f"boundary mode not supported (actual: {mode})")
+
+
 def pad(x, pad_width, mode: str, cval=0.0):
     """N-d boundary extension of ``x`` by gather, honoring ndimage semantics.
 

@@ -142,6 +142,101 @@ def _axis_corr(w, get_slice):
     return acc
 
 
+def _banded_lane_matrix(taps, origin, n, mode, cval):
+    """(n, n) matrix B and additive row c such that ``x @ B + c`` equals
+    the 1-D boundary-extended correlation along the lane axis.
+
+    Folding the boundary mode into a banded matrix removes both the
+    lane-axis halo (which rounds the slab to full 128-lane tiles, a
+    1.5x read amplification at 256^3) and the lane portion of the
+    pre-pad pass; the matmul itself is one MXU contraction per block.
+    Any ndimage mode works because 1-D boundary extension is linear in
+    the input (plus a constant for (grid-)constant modes).
+    """
+    size = len(taps)
+    lo = size // 2 + origin
+    B = np.zeros((n, n), dtype=np.float64)
+    c = np.zeros((n,), dtype=np.float64)
+    idx = np.arange(n)
+    for k, w in enumerate(taps):
+        src = idx + k - lo
+        mapped, oob = boundary.map_indices_np(src, n, mode)
+        inb = ~oob
+        np.add.at(B, (mapped[inb], idx[inb]), w)
+        c[idx[~inb]] += w * cval
+    return B.astype(np.float32), c.astype(np.float32)
+
+
+def _make_kernel_3d_lanemm(sp0, sp1, S2, B0, B1, sl0, sl1, exact=False):
+    """3-D kernel: sublane-axis passes as shifted adds, lane-axis pass
+    as a banded-matrix MXU matmul (3-pass bf16 hi/lo split, ~2^-22
+    relative — below the f32 tap-sum roundoff of the shift path)."""
+
+    def split3(m):
+        hi = m.astype(jnp.bfloat16)
+        lo = (m - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        return hi, lo
+
+    def kernel(x_any, bmat, crow, out_ref, slab, sem):
+        i32 = lambda v: jnp.asarray(v, jnp.int32)  # noqa: E731
+        i = i32(pl.program_id(0))
+        j = i32(pl.program_id(1))
+        g1 = i32(pl.num_programs(1))
+        t = i * g1 + j
+        n_t = i32(pl.num_programs(0)) * g1
+        two = jnp.asarray(2, t.dtype)
+        slot = jax.lax.rem(t, two)
+        next_slot = jax.lax.rem(t + 1, two)
+
+        def dma(tt, sl):
+            ii = jnp.asarray(jax.lax.div(tt, g1), jnp.int32)
+            jj = jnp.asarray(jax.lax.rem(tt, g1), jnp.int32)
+            return pltpu.make_async_copy(
+                x_any.at[
+                    pl.ds(ii * B0, sl0), pl.ds(jj * B1, sl1), :
+                ],
+                slab.at[sl],
+                sem.at[sl],
+            )
+
+        @pl.when(t == 0)
+        def _():
+            dma(t, slot).start()
+
+        @pl.when(t + 1 < n_t)
+        def _():
+            dma(t + 1, next_slot).start()
+
+        dma(t, slot).wait()
+
+        x = slab[slot]
+        acc = (
+            _axis_apply(sp0, lambda k: x[k : k + B0])
+            if sp0 is not None else x
+        )
+        acc1 = (
+            _axis_apply(sp1, lambda k: acc[:, k : k + B1])
+            if sp1 is not None else acc
+        )
+        flat = acc1.reshape(B0 * B1, S2)
+        if exact:
+            # interpret mode (CPU tests): plain f32 dot, bitwise-clean
+            out = jnp.dot(flat, bmat[:],
+                          preferred_element_type=jnp.float32)
+        else:
+            fhi, flo = split3(flat)
+            bhi, blo = split3(bmat[:])
+            out = jnp.dot(fhi, bhi, preferred_element_type=jnp.float32)
+            out = out + jnp.dot(
+                fhi, blo, preferred_element_type=jnp.float32)
+            out = out + jnp.dot(
+                flo, bhi, preferred_element_type=jnp.float32)
+        out = out + crow[:]
+        out_ref[:] = out.reshape(B0, B1, S2).astype(out_ref.dtype)
+
+    return kernel
+
+
 def _make_kernel_3d(sp0, sp1, sp2, S2, B0, B1, sl0, sl1):
     def kernel(x_any, out_ref, slab, sem):
         # double-buffered halo'd slab loads: kick off the next grid
@@ -294,12 +389,24 @@ def _fused_separable(x, specs, origins, modes, cval, interpret):
     dtype = x.dtype
     shape = x.shape
 
+    # lane-axis correlation as a banded-matrix MXU matmul: no lane halo
+    # (which would round the slab to full 128-lane tiles) and no lane
+    # portion of the pre-pad pass — the boundary mode folds into the
+    # matrix because 1-D boundary extension is linear
+    lane_mm = (
+        ndim == 3
+        and specs[2] is not None
+        and specs[2][0] == "corr"
+        and shape[2] <= 768
+        and np.dtype(dtype) == np.float32
+    )
+
     # per-axis (lo, hi) boundary extension: scipy window convention
     pads = []
     halos = []
     for ax in range(ndim):
         spec = specs[ax]
-        if spec is None:
+        if spec is None or (lane_mm and ax == 2):
             pads.append((0, 0))
             halos.append(0)
         else:
@@ -370,6 +477,47 @@ def _fused_separable(x, specs, origins, modes, cval, interpret):
         ]
         if any(hi for _, hi in tail):
             xp = jnp.pad(xp, tail)
+
+    if ndim == 3 and lane_mm:
+        B0, B1 = blocks
+        taps = specs[2][1]
+        Bmat, crow = _banded_lane_matrix(
+            taps, origins[2], shape[2], modes[2], cval
+        )
+        if lane != shape[2]:
+            Bmat = np.pad(Bmat, ((0, lane - shape[2]),) * 2)
+            crow = np.pad(crow, (0, lane - shape[2]))
+        kernel = _make_kernel_3d_lanemm(
+            specs[0], specs[1], lane, B0, B1, slabs[0], slabs[1],
+            exact=interpret,
+        )
+        out = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct(
+                (grid[0] * B0, grid[1] * B1, lane), dtype
+            ),
+            grid=(grid[0], grid[1]),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (B0, B1, lane),
+                lambda i, j: (i, j, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((2, slabs[0], slabs[1], lane), dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary", "arbitrary"),
+                vmem_limit_bytes=_VMEM_LIMIT,
+            ),
+            interpret=interpret,
+        )(xp, jnp.asarray(Bmat), jnp.asarray(crow[None, :]))
+        return out[: shape[0], : shape[1], : shape[2]]
 
     if ndim == 3:
         B0, B1 = blocks
