@@ -146,15 +146,14 @@ def main():
     # --- interpolation / warping suite ------------------------------------
     mat = np.array([[0.9, 0.1], [-0.1, 0.9]], np.float32)
     for order in (0, 1, 3):
-        # rotation-like affine is gather-bound; warm timing (the slope
-        # loop at this cost compiles too long)
+        # Pallas one-hot sampler: cheap enough to slope-time now
         emit(
             f"affine_2d_4096_order{order}",
-            _warm_ms(
-                lambda o=order: ndi.affine_transform(
-                    img, mat, order=o, mode="nearest", prefilter=False
+            _slope_ms(
+                lambda v, o=order: ndi.affine_transform(
+                    v, mat, order=o, mode="nearest", prefilter=False
                 ),
-                reps=3,
+                img, n1=1, n2=4,
             ),
             nb2,
         )
@@ -162,16 +161,17 @@ def main():
     dmat = np.array([[1.1, 0.0], [0.0, 0.9]], np.float32)
     emit(
         "affine_diag_2d_4096_order1",
-        _warm_ms(
-            lambda: ndi.affine_transform(
-                img, dmat, order=1, mode="nearest", prefilter=False
+        _slope_ms(
+            lambda v: ndi.affine_transform(
+                v, dmat, order=1, mode="nearest", prefilter=False
             ),
-            reps=3,
+            img, n1=1, n2=6,
         ),
         nb2,
     )
     emit("zoom_keep_2d_4096_order1",
-         _warm_ms(lambda: ndi.zoom(img, 1.0, order=1)))
+         _slope_ms(lambda v: ndi.zoom(v, 1.0, order=1), img,
+                   n1=1, n2=6))
     emit("spline_filter_2d_4096_ord3",
          _slope_ms(lambda v: ndi.spline_filter(v, order=3), img), nb2)
     emit("map_coords_3d_128c_order1",
