@@ -1,0 +1,449 @@
+"""Exact 2-D affine resampling via gather-transpose-gather (GTG).
+
+TPU-native successor to the one-hot MXU sampler (ops/pallas_interp.py)
+for rotation-like affines.  The one-hot formulation pays
+``round128(S0) * S1`` MXU MACs *per output point* to express a
+(order+1)^2-tap gather as dense matmuls — structurally ~100x more
+arithmetic than the gather needs, and measured at ~21 ms for a 4096^2
+order-1 rotation on v5e.  This kernel instead uses the hardware's
+within-vreg dynamic gather (``tpu.dynamic_gather``, reachable as
+``jnp.take_along_axis(src, idx, axis=1)`` with ``idx.shape ==
+src.shape`` and lane width <= 128) to move each tap with O(1) work:
+
+- Per output tile (TI, 128) a (128, 256) source slab is DMA'd to VMEM
+  and lane-rolled so local column taps start at lane 0 (column spans up
+  to ~248 are served by gathering each 128-lane half and selecting).
+- **A-stage** (column taps): for every slab row s0 and output column j,
+  invert the affine row map to find the output row i whose row tap
+  lands on s0, then lane-gather that point's (order+1) column taps and
+  fold in the column weights: A[s0, j] = sum_kj wc * slab[s0, ctap+kj].
+- **transpose** A -> At so slab rows become lanes.
+- **B-stage** (row taps): per point (i, j), lane-gather At at the
+  point's row tap and fold in the row weight.
+
+Row-map inversion is multivalued when |a00| < 1 (two consecutive i can
+share a floor), so the A/B stages run NP = ceil(1/|a00|) passes (gated
+to NP <= 2 by requiring |a00| >= 0.5 after orientation); the B-stage
+selects the pass matching each point's preimage index.  Orientation:
+when |d(row)/d(out_col)| > |d(row)/d(out_row)| the kernel computes the
+transposed output, which keeps the slab row span bounded for every
+rotation angle.
+
+**Deterministic routing.** The A-side inversion must agree with the
+B-side tap floors bit-for-bit, but XLA may compile the same
+``floor(a00*i + a01*j + o0)`` expression differently at the two sites
+(FMA contraction / excess precision), flipping floors at exact ties
+and routing a point to a neighboring cell (observed: one bad pixel per
+~10^5 on the CPU backend).  All routing floors therefore use a
+fixed-point pipeline that admits no compilation freedom:
+``floor(S_tile + (A00*di + A01*dj) * 2^-22)`` where A00/A01 are
+pre-rounded integers, the residual is exact int32 arithmetic, the
+scale is a power of two (exact), and S_tile is a per-tile scalar
+computed once and shared by both sides — every float step is a single
+exactly-rounded op.  Interpolation *fractions* still come from the
+precise f32 coordinates (fr = r_precise - rq_route), so the ~2^-23
+routing quantization only converts interpolation to an equivalent
+sub-ulp extrapolation at tie points.  Per-tile DMA origins are
+likewise computed once, outside the kernel, and fed through scalar
+prefetch so the pipelined prefetch-site and the compute-site can never
+disagree.
+
+Measured: 4096^2 order-1 17-degree rotation ~2.4 ms compute (vs 21 ms
+one-hot), ~16 B/point of slab DMA.
+
+Cites: reference affine gather kernels
+cupyimg/scipy/ndimage/_interp_kernels.py:277-592 and kernel factories
+:690-751 (one CUDA thread per output point; the GTG decomposition is
+the TPU-native equivalent of its per-thread 2-D tap loop).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from cupyimg_tpu.core import boundary
+from cupyimg_tpu.ops.interp import spline_weights
+from cupyimg_tpu.ops.iir import get_spline_mode
+
+__all__ = ["affine_gtg_2d", "gtg_plan"]
+
+_LANES = 128
+_SLAB0 = 128          # slab rows (sublane span budget incl. 8-align slack)
+_SLAB1 = 384          # slab cols as DMA'd: up to 127 lanes of origin
+                      # 128-alignment slack + two 128-lane gather
+                      # windows after the roll
+_Q = 22               # routing fixed-point fraction bits
+_QF = np.float32(2.0 ** -_Q)
+
+
+def _round_up(v, m):
+    return ((v + m - 1) // m) * m
+
+
+def gtg_plan(matrix, order, out_shape):
+    """Static plan: (swapped, mshape, TI, NP, NW, out_shape') or None.
+
+    ``swapped`` means the kernel computes the transposed output (roles
+    of the two output axes exchanged) and the caller transposes back.
+    ``NW`` is the number of 128-lane gather windows the column span
+    needs (1 or 2).
+    """
+    m = np.asarray(matrix, dtype=np.float64)
+    if m.shape != (2, 2) or not np.all(np.isfinite(m)):
+        return None
+    a00, a01, a10, a11 = m[0, 0], m[0, 1], m[1, 0], m[1, 1]
+    swapped = abs(a01) > abs(a00)
+    if swapped:
+        a00, a01 = a01, a00
+        a10, a11 = a11, a10
+        out_shape = (out_shape[1], out_shape[0])
+    if abs(a00) < 0.5:
+        return None  # inversion multiplicity > 2: one-hot path handles
+    np_passes = 1 if abs(a00) >= 1.0 else 2
+    ntaps = order + 1 if order > 0 else 1
+    for ti in (64, 32, 16, 8):
+        span0 = abs(a00) * (ti - 1) + abs(a01) * (_LANES - 1) + ntaps - 1
+        span1 = abs(a10) * (ti - 1) + abs(a11) * (_LANES - 1) + ntaps - 1
+        # row budget: 128 slab rows minus 8-align slack and safety;
+        # column budget: two 128-lane gather windows minus safety (the
+        # slab's extra 128 lanes only absorb the DMA origin alignment)
+        if span0 > _SLAB0 - 12 or span1 > 2 * _LANES - 8:
+            continue
+        nw = 1 if span1 <= _LANES - 4 else 2
+        return swapped, (a00, a01, a10, a11), ti, np_passes, nw, out_shape
+    return None
+
+
+def _tap_weights(frac, order):
+    if order == 0:
+        return [jnp.ones_like(frac)]
+    if order == 1:
+        return [1.0 - frac, frac]
+    return spline_weights(frac, order)
+
+
+def _quant(a):
+    return int(round(a * (1 << _Q)))
+
+
+def _make_kernel(mshape, lo0, lo1, order, TI, NP, NW, interpret):
+    """Kernel body; every parameter is a Python scalar baked in."""
+    a00, a01, a10, a11, o0, o1 = mshape
+    f32 = np.float32
+    a00f, a01f, a10f, a11f = f32(a00), f32(a01), f32(a10), f32(a11)
+    o0f, o1f = f32(o0), f32(o1)
+    inv_a00 = f32(1.0 / a00)
+    A00, A01 = _quant(a00), _quant(a01)
+    A10, A11 = _quant(a10), _quant(a11)
+    base_off = -1 if order >= 2 else 0
+    ntaps = order + 1 if order > 0 else 1
+    half = f32(0.5) if order == 0 else f32(0.0)  # round-to-nearest tap
+
+    def kernel(rmin_ref, cmin_ref, x_any, out_ref, slab, sem):
+        bi = pl.program_id(0)
+        bj = pl.program_id(1)
+        g1 = pl.num_programs(1)
+        t = bi * g1 + bj
+        nt = pl.num_programs(0) * g1
+        two = jnp.asarray(2, t.dtype)
+        slot = lax.rem(t, two)
+        nslot = lax.rem(t + 1, two)
+
+        def dma(sl, tt):
+            return pltpu.make_async_copy(
+                x_any.at[
+                    pl.ds(pl.multiple_of(rmin_ref[tt], 8), _SLAB0),
+                    pl.ds(
+                        pl.multiple_of(
+                            (cmin_ref[tt] // 128) * 128, 128
+                        ),
+                        _SLAB1,
+                    ),
+                ],
+                slab.at[sl],
+                sem.at[sl],
+            )
+
+        @pl.when(t == 0)
+        def _():
+            dma(slot, t).start()
+
+        @pl.when(t + 1 < nt)
+        def _():
+            dma(nslot, t + 1).start()
+
+        dma(slot, t).wait()
+        rmin8 = rmin_ref[t]
+        cmin_true = cmin_ref[t]
+        shift = cmin_true - (cmin_true // 128) * 128  # in [0, 128)
+        raw = slab[slot]
+        # left-roll by `shift` so local column tap 0 sits at lane 0
+        amt = lax.rem(
+            jnp.asarray(_SLAB1, shift.dtype) - shift,
+            jnp.asarray(_SLAB1, shift.dtype),
+        )
+        rolled = pltpu.roll(raw, amt, 1) if not interpret else (
+            jnp.roll(raw, amt, axis=1))
+        win0 = rolled[:, :_LANES]
+        win1 = rolled[:, _LANES : 2 * _LANES] if NW == 2 else None
+
+        def col_gather(idx):
+            """Value at local column tap ``idx`` (0..NW*128-1)."""
+            g = jnp.take_along_axis(
+                win0, jnp.clip(idx, 0, _LANES - 1), axis=1
+            )
+            if NW == 2:
+                g2 = jnp.take_along_axis(
+                    win1, jnp.clip(idx - _LANES, 0, _LANES - 1),
+                    axis=1,
+                )
+                g = jnp.where(idx < _LANES, g, g2)
+            return g
+
+        i0f = (bi * TI).astype(f32)
+        j0f = (bj * _LANES).astype(f32)
+        # per-tile routing scalars — computed ONCE, shared by the
+        # A-side inversion and the B-side forward floors
+        S_r = a00f * i0f + (a01f * j0f + o0f) + half
+        S_c = a10f * i0f + (a11f * j0f + o1f) + half
+
+        def route_r(di_int, dj_int):
+            """Deterministic row floor: every float step is one
+            exactly-rounded op (add, mul-by-2^-Q, floor)."""
+            resid = A00 * di_int + A01 * dj_int
+            return jnp.floor(S_r + resid.astype(f32) * _QF)
+
+        def route_c(di_int, dj_int):
+            resid = A10 * di_int + A11 * dj_int
+            return jnp.floor(S_c + resid.astype(f32) * _QF)
+
+        def inv_first(tgt_f, dj_int):
+            """Smallest TILE-LOCAL di with route_r(di, dj) == tgt
+            (f32 integer-valued)."""
+            bres = (A01 * dj_int).astype(f32) * _QF
+            center = (tgt_f + f32(0.5) - S_r - bres) * inv_a00
+            ic = jnp.floor(center + f32(0.5))
+            ic_i = ic.astype(jnp.int32)
+            m0 = route_r(ic_i - 1, dj_int) == tgt_f
+            m1 = route_r(ic_i, dj_int) == tgt_f
+            return jnp.where(m0, ic - 1.0, jnp.where(m1, ic, ic + 1.0))
+
+        # ---- B-side point coords: layout (j on sublanes, t on lanes)
+        jB = jax.lax.broadcasted_iota(jnp.int32, (_LANES, _LANES), 0)
+        tB = jax.lax.broadcasted_iota(jnp.int32, (_LANES, _LANES), 1)
+        # clamp the garbage lane slots t >= TI to the last real row so
+        # their coords stay inside the tile's slab span
+        dB = jnp.minimum(tB, TI - 1)
+        jB_f = jB.astype(f32) + j0f
+        iB_f = dB.astype(f32) + i0f
+        rqB = route_r(dB, jB)
+        frB = (a00f * iB_f + (a01f * jB_f + o0f)) - rqB
+        rlB = rqB.astype(jnp.int32) + (lo0 + base_off) - rmin8
+
+        # ---- A-side grids: layout (s0 on sublanes, j on lanes)
+        s0A = jax.lax.broadcasted_iota(jnp.int32, (_SLAB0, _LANES), 0)
+        djA = jax.lax.broadcasted_iota(jnp.int32, (_SLAB0, _LANES), 1)
+        jA_f = djA.astype(f32) + j0f
+        # target route floor for slab row s0 at row tap ki:
+        # route_r(di) == s0 + rmin8 - lo0 - base_off - ki
+        s0_base = (s0A + (rmin8 - lo0 - base_off)).astype(f32)
+
+        wrB = _tap_weights(frB, order)
+        acc = jnp.zeros((_LANES, _LANES), f32)
+        for ki in range(ntaps):
+            di_first_A = inv_first(s0_base - f32(ki), djA)
+            Ats = []
+            for p in range(NP):
+                di_p = di_first_A + f32(p)  # tile-local row, f32 ints
+                di_pi = di_p.astype(jnp.int32)
+                i_p = di_p + i0f
+                cq = route_c(di_pi, djA)
+                fcA = (a10f * i_p + (a11f * jA_f + o1f)) - cq
+                cl = (
+                    cq.astype(jnp.int32)
+                    + (lo1 + base_off)
+                    - cmin_true
+                )
+                wcA = _tap_weights(fcA, order)
+                A = jnp.zeros((_SLAB0, _LANES), f32)
+                for kj in range(ntaps):
+                    A = A + wcA[kj] * col_gather(cl + kj)
+                Ats.append(A.T)
+            # B-stage: gather each point's ki-th row tap
+            idxB = jnp.clip(rlB + ki, 0, _SLAB0 - 1)
+            CB = jnp.take_along_axis(Ats[0], idxB, axis=1)
+            if NP == 2:
+                C1 = jnp.take_along_axis(Ats[1], idxB, axis=1)
+                # which pass holds this point: p = di - di_first(rq, j)
+                di_first_B = inv_first(rqB, jB)
+                CB = jnp.where(
+                    dB.astype(f32) - di_first_B < f32(0.5), CB, C1
+                )
+            acc = acc + wrB[ki] * CB
+        out_ref[...] = acc.T[:TI].astype(out_ref.dtype)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "lo0", "lo1", "mshape", "order", "TI", "NP", "NW", "out_shape",
+        "interpret",
+    ),
+)
+def _gtg_call(xext, lo0, lo1, mshape, order, TI, NP, NW, out_shape,
+              interpret=False):
+    H, W = out_shape
+    G0 = -(-H // TI)
+    G1 = -(-W // _LANES)
+    # guard pad so clipped slab origins always read in-bounds
+    xg = jnp.pad(xext, ((0, _SLAB0), (0, _SLAB1)))
+    Hp, Wp = xg.shape
+
+    # ---- per-tile slab origins, computed ONCE outside the kernel and
+    # fed via scalar prefetch (a pipelined in-kernel recomputation at
+    # the prefetch site could compile differently from the compute
+    # site and disagree at float ties)
+    a00, a01, a10, a11, o0, o1 = mshape
+    f32 = np.float32
+    A00, A01 = _quant(a00), _quant(a01)
+    A10, A11 = _quant(a10), _quant(a11)
+    half = f32(0.5) if order == 0 else f32(0.0)
+    base_off = -1 if order >= 2 else 0
+    bi = jnp.arange(G0, dtype=jnp.int32)[:, None, None]
+    bj = jnp.arange(G1, dtype=jnp.int32)[None, :, None]
+    i0f = (bi * TI).astype(f32)
+    j0f = (bj * _LANES).astype(f32)
+    S_r = f32(a00) * i0f + (f32(a01) * j0f + f32(o0)) + half
+    S_c = f32(a10) * i0f + (f32(a11) * j0f + f32(o1)) + half
+    dcorn = jnp.asarray([0, TI - 1], jnp.int32)[None, None, :, None]
+    jcorn = jnp.asarray([0, _LANES - 1], jnp.int32)[None, None, None, :]
+    rr = jnp.floor(
+        S_r[..., None]
+        + (A00 * dcorn + A01 * jcorn).astype(f32) * _QF
+    )
+    cc = jnp.floor(
+        S_c[..., None]
+        + (A10 * dcorn + A11 * jcorn).astype(f32) * _QF
+    )
+    rmin = rr.min(axis=(2, 3)).astype(jnp.int32) + (lo0 + base_off)
+    cmin = cc.min(axis=(2, 3)).astype(jnp.int32) + (lo1 + base_off)
+    rmin8 = (jnp.clip(rmin, 0, Hp - _SLAB0) // 8) * 8
+    cmin_true = jnp.clip(cmin, 0, Wp - _SLAB1)
+    rmin_flat = rmin8.reshape(-1)
+    cmin_flat = cmin_true.reshape(-1)
+
+    kernel = _make_kernel(
+        mshape, int(lo0), int(lo1), int(order), int(TI), int(NP),
+        int(NW), bool(interpret),
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(G0, G1),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((TI, _LANES), lambda i, j, *_: (i, j)),
+        scratch_shapes=[
+            pltpu.VMEM((2, _SLAB0, _SLAB1), xext.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((G0 * TI, G1 * _LANES),
+                                       xext.dtype),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(rmin_flat, cmin_flat, xg)
+    return out[:H, :W]
+
+
+def affine_gtg_2d(x, matrix, offset, order, mode, cval, out_shape,
+                  interpret=False):
+    """GTG resampling of ``x`` at ``matrix @ out_coord + offset``.
+
+    Returns None when the plan gates reject (fallback paths handle).
+    Boundary semantics mirror ops/onehot_interp.affine_onehot_2d: the
+    input is pre-extended over the (tile-padded) output grid's source
+    excursion; legacy 'constant' outer-cval masking is the caller's.
+    """
+    if not interpret and jax.default_backend() != "tpu":
+        return None
+    if x.ndim != 2 or np.dtype(x.dtype).kind != "f":
+        return None
+    if np.dtype(x.dtype).itemsize > 4:
+        return None
+    if order not in (0, 1, 3):
+        return None
+    if not interpret and x.size < (1 << 20):
+        return None
+    try:
+        matrix = np.asarray(matrix, dtype=np.float64)
+        offset = np.asarray(offset, dtype=np.float64).reshape(2)
+    except Exception:
+        return None  # traced transform: static plan impossible
+    if mode not in (
+        "nearest", "reflect", "mirror", "grid-wrap", "grid-mirror",
+        "constant", "grid-constant",
+    ):
+        return None
+    if order == 0 and mode in (
+        "reflect", "mirror", "grid-mirror", "grid-wrap",
+    ):
+        # round-half direction flips under coordinate folding; the
+        # gather path premaps the float coordinate like scipy does
+        return None
+    plan = gtg_plan(matrix, order, tuple(int(v) for v in out_shape))
+    if plan is None:
+        return None
+    swapped, (a00, a01, a10, a11), TI, NP, NW, oshape = plan
+    o0, o1 = float(offset[0]), float(offset[1])
+
+    # excursion over the TILE-PADDED output grid (garbage lanes clamp
+    # to the last real row, so corners of the padded grid bound them)
+    G0 = -(-oshape[0] // TI)
+    G1 = -(-oshape[1] // _LANES)
+    hi_i = G0 * TI - 1
+    hi_j = G1 * _LANES - 1
+    corners = np.array(
+        [[0, 0], [0, hi_j], [hi_i, 0], [hi_i, hi_j]], dtype=np.float64
+    )
+    m_or = np.array([[a00, a01], [a10, a11]])
+    src = corners @ m_or.T + np.array([o0, o1])
+    margin = order + 4
+    pads = []
+    for ax in range(2):
+        lo = max(0, int(math.ceil(-src[:, ax].min())) + margin)
+        hi = max(
+            0,
+            int(math.ceil(src[:, ax].max() - (x.shape[ax] - 1)))
+            + margin,
+        )
+        pads.append((lo, hi))
+    if any(
+        max(plo, phi) >= s for (plo, phi), s in zip(pads, x.shape)
+    ) and mode not in ("constant", "grid-constant", "nearest"):
+        return None  # multi-period folds: gather path handles
+    if order >= 2 and mode not in ("grid-constant", "nearest"):
+        pad_mode = get_spline_mode(mode)
+    else:
+        pad_mode = mode
+    xext = boundary.pad(x, pads, pad_mode, cval)
+
+    mshape = (a00, a01, a10, a11, o0, o1)
+    out = _gtg_call(
+        xext, pads[0][0], pads[1][0], mshape, int(order), int(TI),
+        int(NP), int(NW), oshape, interpret=bool(interpret),
+    )
+    return out.T if swapped else out

@@ -77,15 +77,20 @@ def _spans(mshape, b0, bs, order):
 
 
 def _choose_block(mshape, order, nbc=1):
-    """Pick (B0, BS) minimizing estimated per-point MXU work.
+    """Pick (B0, BS) minimizing measured-calibrated per-point cost.
 
-    Cost model: the row matmul contracts (B0*BS, S0) x (S0, S1) with the
-    contraction dim padded to 128, so per-point MACs =
-    round128(S0) * S1 / (B0 * BS).  Larger blocks amortize better until
-    the spans outgrow the slab caps / VMEM.
+    The rows matmul contracts (B0*BS, S0) x (S0, S1), so per-point MXU
+    MAC-slots are round128(S0) * S1 (the contraction dim pads to 128) —
+    they do NOT amortize with block size.  Two measured corrections
+    (v5e sweep, 4096^2 17-degree rotation, order 1): a fixed per-block
+    overhead (~500 cycles: DMA issue + grid step) that punishes tiny
+    blocks, and a mild preference for more sub-blocks (smaller
+    per-matmul working sets pipeline better).  The sweep minimum was
+    (B0=64, BS=32) at 21 ms vs 25-63 ms for the large-block picks the
+    old amortization model made.
     """
     best = None
-    for b0 in (32, 64, 96, 128, 192, 256):
+    for b0 in (8, 16, 32, 64, 96, 128, 192, 256):
         for bs in (32, 64, 128):
             s0, s1 = _spans(mshape, b0, bs, order)
             if s0 > _MAX_S0 or s1 > _MAX_S1:
@@ -101,7 +106,12 @@ def _choose_block(mshape, order, nbc=1):
             # register allocator out by 144 MB)
             if b0 * bs * max(s0, s1) > (1 << 20) + (1 << 18):
                 continue
-            cost = _round_up(s0, 128) * s1 / (b0 * bs)
+            cost = (
+                3 * _round_up(s0, 128) * _round_up(s1, 128)
+                + 9_000_000 // (b0 * bs)
+                + 100 * (s0 + s1)
+                - 1_500 * nsub
+            )
             key = (cost, -(b0 * bs))
             if best is None or key < best[0][0]:
                 best = ((key,), b0, bs, s0, s1)

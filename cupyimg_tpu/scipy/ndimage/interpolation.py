@@ -379,10 +379,20 @@ def affine_transform(
 
     oh = None
     if ndim == 2:
-        oh = onehot_interp.affine_onehot_2d(
+        from cupyimg_tpu.ops import gtg_interp
+
+        # gather-transpose-gather kernel first (rotation-like affines;
+        # ~9x the one-hot MXU sampler's throughput), then the one-hot
+        # fallback for transforms its plan gates reject
+        oh = gtg_interp.affine_gtg_2d(
             filtered, matrix, offsets + npad, order, mode, cval,
             output_shape,
         )
+        if oh is None:
+            oh = onehot_interp.affine_onehot_2d(
+                filtered, matrix, offsets + npad, order, mode, cval,
+                output_shape,
+            )
     elif ndim >= 3:
         oh = _try_batched_plane_onehot(
             filtered, matrix, offsets, npad, order, mode, cval,
