@@ -187,14 +187,15 @@ def main():
         _cc + 9.0 * np.cos(_rr / 71.0) - 4.0 * np.sin(_cc / 89.0),
     ]))
     for order in (1, 3):
+        # the routing-based warp kernel (ops/warp_gather.py) is
+        # sync-free and jittable, so the warp cases slope-time now
         emit(
             f"map_coords_2d_2048_warp_order{order}",
-            _warm_ms(
-                lambda o=order: ndi.map_coordinates(
-                    img[:2048, :2048], warp_coords, order=o,
-                    mode="reflect",
+            _slope_ms(
+                lambda v, o=order: ndi.map_coordinates(
+                    v, warp_coords, order=o, mode="reflect",
                 ),
-                reps=3,
+                img[:2048, :2048], n1=1, n2=6,
             ),
         )
 

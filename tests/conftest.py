@@ -12,6 +12,10 @@ import os
 # 'axon' TPU backend and forces jax_platforms programmatically, so tests must
 # override via jax.config *after* import.
 os.environ["JAX_PLATFORMS"] = "cpu"
+# The persistent XLA cache can hold AOT artifacts compiled for a different
+# host CPU (observed: '+prefer-no-scatter' feature mismatch warnings and
+# wrong gather results loaded from cache) — keep tests hermetic.
+os.environ["CUPYIMG_TPU_NO_CACHE"] = "1"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
