@@ -32,9 +32,11 @@ from jax.experimental.pallas import tpu as pltpu
 from cupyimg_tpu.core import boundary
 
 __all__ = [
+    "fused_dense_correlate",
     "fused_separable_correlate",
     "fused_separable_minmax",
     "supports",
+    "supports_dense",
 ]
 
 # raise Mosaic's scoped-VMEM ceiling from the 16 MiB default — v5e has
@@ -577,3 +579,294 @@ def _fused_separable(x, specs, origins, modes, cval, interpret):
         out = out[: shape[0], : shape[1]]
 
     return out
+
+
+# ---------------------------------------------------------------------------
+# dense nd correlation (non-separable kernels)
+# ---------------------------------------------------------------------------
+
+# unrolled tap FMA count cap for the dense kernel (compile-time bound);
+# 31x31 and 11x11x11 footprints stay comfortably inside
+_MAX_DENSE_TAPS = 1400
+
+
+def supports_dense(x, weights, interpret=False):
+    """Whether the dense fused Pallas path applies.
+
+    ``weights`` must be a concrete numpy array (zero taps are skipped
+    statically, subsuming the reference's sparse masked kernel,
+    cupyimg/scipy/ndimage/_kernels/filters_v2.py:17-72).
+    """
+    if not interpret and jax.default_backend() != "tpu":
+        return False
+    if not isinstance(weights, np.ndarray):
+        return False
+    if np.dtype(x.dtype).kind != "f" or np.dtype(x.dtype).itemsize > 4:
+        return False
+    if np.dtype(weights.dtype).kind not in "fiub":
+        return False
+    if x.ndim not in (2, 3) or weights.ndim != x.ndim:
+        return False
+    nnz = int(np.count_nonzero(weights))
+    if nnz == 0 or nnz > _MAX_DENSE_TAPS:
+        return False
+    if any(ws > 2 * s for ws, s in zip(weights.shape, x.shape)):
+        return False
+    if not interpret and x.size < (1 << 20):
+        return False
+    return True
+
+
+def _group_taps_by_row(taps):
+    """taps [(idx..., w)] -> [(ki, [(trailing-idx..., w)])] in row order.
+
+    Grouping keeps the unrolled accumulation's live set small: one
+    row-shifted strip at a time (a flat 2-D unroll of 225+ taps made
+    Mosaic's register allocator spill 213 MB at 15x15)."""
+    rows = {}
+    for idx, w in taps:
+        rows.setdefault(idx[0], []).append((idx[1:], w))
+    return sorted(rows.items())
+
+
+def _make_dense_kernel_2d(taps, S1, B0, sl0):
+    """2-D dense stencil: per row tap, a lane-tap correlation over the
+    row-shifted strip, accumulated (zero taps already dropped)."""
+    rows = _group_taps_by_row(taps)
+
+    def kernel(x_any, out_ref, slab, sem):
+        t = jnp.asarray(pl.program_id(0), jnp.int32)
+        n_t = jnp.asarray(pl.num_programs(0), jnp.int32)
+        two = jnp.asarray(2, t.dtype)
+        slot = jax.lax.rem(t, two)
+        next_slot = jax.lax.rem(t + 1, two)
+
+        def dma(tt, sl):
+            return pltpu.make_async_copy(
+                x_any.at[pl.ds(tt * B0, sl0), :],
+                slab.at[sl],
+                sem.at[sl],
+            )
+
+        @pl.when(t == 0)
+        def _():
+            dma(t, slot).start()
+
+        @pl.when(t + 1 < n_t)
+        def _():
+            dma(t + 1, next_slot).start()
+
+        dma(t, slot).wait()
+        x = slab[slot]
+        # accumulate through out_ref per row tap: an unmaterialized
+        # chain over many taps lets the Mosaic scheduler hoist every
+        # lane-shifted slice at once (961 taps spilled 165+ MB of
+        # vregs); the ref round-trip bounds the live set per row
+        first = True
+        for ki, lane_taps in rows:
+            strip = x[ki : ki + B0]
+            part = None
+            for (kj,), w in lane_taps:
+                term = w * strip[:, kj : kj + S1]
+                part = term if part is None else part + term
+            if first:
+                out_ref[:] = part.astype(out_ref.dtype)
+                first = False
+            else:
+                out_ref[:] = out_ref[:] + part.astype(out_ref.dtype)
+
+    return kernel
+
+
+def _make_dense_kernel_3d(taps, S2, B0, B1, sl0, sl1):
+    def kernel(x_any, out_ref, slab, sem):
+        i32 = lambda v: jnp.asarray(v, jnp.int32)  # noqa: E731
+        i = i32(pl.program_id(0))
+        j = i32(pl.program_id(1))
+        g1 = i32(pl.num_programs(1))
+        t = i * g1 + j
+        n_t = i32(pl.num_programs(0)) * g1
+        two = jnp.asarray(2, t.dtype)
+        slot = jax.lax.rem(t, two)
+        next_slot = jax.lax.rem(t + 1, two)
+
+        def dma(tt, sl):
+            ii = jnp.asarray(jax.lax.div(tt, g1), jnp.int32)
+            jj = jnp.asarray(jax.lax.rem(tt, g1), jnp.int32)
+            return pltpu.make_async_copy(
+                x_any.at[
+                    pl.ds(ii * B0, sl0), pl.ds(jj * B1, sl1), :
+                ],
+                slab.at[sl],
+                sem.at[sl],
+            )
+
+        @pl.when(t == 0)
+        def _():
+            dma(t, slot).start()
+
+        @pl.when(t + 1 < n_t)
+        def _():
+            dma(t + 1, next_slot).start()
+
+        dma(t, slot).wait()
+        x = slab[slot]
+        first = True
+        for ki, inner in _group_taps_by_row(taps):
+            strip = x[ki : ki + B0]
+            part = None
+            for (kj, kk), w in inner:
+                term = w * strip[:, kj : kj + B1, kk : kk + S2]
+                part = term if part is None else part + term
+            if first:
+                out_ref[:] = part.astype(out_ref.dtype)
+                first = False
+            else:
+                out_ref[:] = out_ref[:] + part.astype(out_ref.dtype)
+
+    return kernel
+
+
+def fused_dense_correlate(
+    x, weights, origins, mode, cval=0.0, interpret=False
+):
+    """Dense nd correlation in one fused Pallas pass.
+
+    TPU-native replacement for the reference's generated dense nd
+    stencil (cupyimg/scipy/ndimage/_filters_core.py:190-348): one
+    halo'd slab DMA per block, every (nonzero) tap an unrolled
+    shifted-slice FMA in VMEM.  ``weights`` is a concrete numpy array;
+    callers gate via :func:`supports_dense`.
+    """
+    weights = np.asarray(weights)
+    taps = tuple(
+        (tuple(int(v) for v in idx), float(weights[tuple(idx)]))
+        for idx in np.argwhere(weights != 0.0)
+    )
+    return _fused_dense(
+        x, taps, weights.shape, tuple(int(o) for o in origins),
+        str(mode), float(cval), bool(interpret),
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "taps", "wshape", "origins", "mode", "cval", "interpret",
+    ),
+)
+def _fused_dense(x, taps, wshape, origins, mode, cval, interpret):
+    ndim = x.ndim
+    dtype = x.dtype
+    shape = x.shape
+
+    pads = []
+    halos = []
+    for ax in range(ndim):
+        size = wshape[ax]
+        lo = size // 2 + origins[ax]
+        hi = size - 1 - lo
+        if lo < 0 or hi < 0:
+            raise ValueError("dense path requires in-window origins")
+        pads.append((lo, hi))
+        halos.append(size - 1)
+
+    lane_lo, lane_hi = pads[-1]
+    lane = _round_up(shape[-1] + lane_lo + lane_hi, 128)
+    blocks = _choose_blocks(
+        shape, halos, lane, np.dtype(dtype).itemsize
+    )
+    # many-tap unrolls raise Mosaic's register pressure (a 15x15 unroll
+    # at B0=256 spilled 213 MB); shrink the leading block with tap count
+    nnz = len(taps)
+    if nnz > 96:
+        blocks[0] = min(blocks[0], 64)
+    if nnz > 384:
+        blocks[0] = min(blocks[0], 32)
+
+    slabs = []
+    for ax, b in enumerate(blocks):
+        ext = b + halos[ax]
+        if ax == ndim - 2:
+            ext = _round_up(ext, 8)
+        slabs.append(ext)
+
+    grid = []
+    total_pads = list(pads)
+    for ax, b in enumerate(blocks):
+        g = math.ceil(shape[ax] / b)
+        grid.append(g)
+        target = (g - 1) * b + slabs[ax]
+        lo, hi = total_pads[ax]
+        total_pads[ax] = (lo, max(hi, target - shape[ax] - lo))
+    total_pads[-1] = (
+        lane_lo, lane_hi + lane - (shape[-1] + lane_lo + lane_hi)
+    )
+
+    max_rel_pad = max(
+        max(pd) / shape[ax] for ax, pd in enumerate(total_pads)
+    )
+    if max_rel_pad < 1.0:
+        xp = boundary.pad(x, total_pads, mode, cval)
+    else:
+        xp = boundary.pad(x, pads, mode, cval)
+        tail = [
+            (0, tp[0] + tp[1] - pd[0] - pd[1])
+            for tp, pd in zip(total_pads, pads)
+        ]
+        if any(hi for _, hi in tail):
+            xp = jnp.pad(xp, tail)
+
+    if ndim == 3:
+        B0, B1 = blocks
+        kernel = _make_dense_kernel_3d(
+            taps, shape[2], B0, B1, slabs[0], slabs[1]
+        )
+        out = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct(
+                (grid[0] * B0, grid[1] * B1, shape[2]), dtype
+            ),
+            grid=(grid[0], grid[1]),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec(
+                (B0, B1, shape[2]),
+                lambda i, j: (i, j, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((2, slabs[0], slabs[1], lane), dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary", "arbitrary"),
+                vmem_limit_bytes=_VMEM_LIMIT,
+            ),
+            interpret=interpret,
+        )(xp)
+        return out[: shape[0], : shape[1], : shape[2]]
+
+    (B0,) = blocks
+    kernel = _make_dense_kernel_2d(taps, shape[1], B0, slabs[0])
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(
+            (grid[0] * B0, shape[1]), dtype
+        ),
+        grid=(grid[0],),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(
+            (B0, shape[1]), lambda i: (i, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, slabs[0], lane), dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+        interpret=interpret,
+    )(xp)
+    return out[: shape[0], : shape[1]]

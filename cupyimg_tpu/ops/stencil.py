@@ -132,13 +132,43 @@ def correlate_conv(x, weights, mode: str, cval, origins, acc_dtype):
 
 
 def correlate_nd(x, weights, mode, cval, origins, acc_dtype):
-    """Dispatch dense nd correlation to shift-add (VPU) or conv (MXU)."""
+    """Dispatch dense nd correlation.
+
+    Priority on TPU: the fused Pallas dense stencil (one HBM pass,
+    unrolled nonzero-tap FMAs in VMEM); weights that are concrete jnp
+    arrays are pulled to numpy so the Pallas path and its static
+    zero-tap skipping apply.  ``lax.conv_general_dilated`` is never
+    used on TPU: single-channel convs lower catastrophically on v5e
+    (measured 5.6 s for a 15x15 kernel on 4096^2 — ~500x slower than
+    the Pallas engine) and 31x31 crashed the TPU runtime outright.
+    """
+    if not isinstance(weights, np.ndarray) and not isinstance(
+        weights, jax.core.Tracer
+    ):
+        weights = np.asarray(weights)
+
+    if np.dtype(acc_dtype).kind == "f" and np.dtype(
+        acc_dtype
+    ).itemsize <= 4:
+        from cupyimg_tpu.ops import pallas_stencil as _ps
+
+        xw = x.astype(acc_dtype)
+        if _ps.supports_dense(xw, weights):
+            return _ps.fused_dense_correlate(
+                xw,
+                np.asarray(weights, np.float64),
+                origins,
+                mode,
+                cval,
+            )
+
     n_taps = int(np.prod(weights.shape))
     use_conv = (
         n_taps > _CONV_TAP_THRESHOLD
         and 1 <= x.ndim <= 3
         and np.dtype(acc_dtype).kind == "f"
         and not isinstance(weights, np.ndarray)  # concrete: sparse skip wins
+        and jax.default_backend() != "tpu"
     )
     if use_conv:
         return correlate_conv(x, weights, mode, cval, origins, acc_dtype)

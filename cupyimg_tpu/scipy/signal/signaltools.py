@@ -297,11 +297,35 @@ def oaconvolve(in1, in2, mode="full", axes=None):
 def _direct_corr_real(xp, w, out_shape):
     """VALID real correlation of a pre-padded array.
 
-    Small kernels unroll as shift-multiply-adds (XLA fuses them into one
-    pass; a channelless ``conv_general_dilated`` lowers catastrophically
-    on TPU); large kernels and rank <= 3 use the XLA conv op."""
+    TPU routes to the fused Pallas dense stencil (ops/pallas_stencil);
+    elsewhere small kernels unroll as shift-multiply-adds (XLA fuses
+    them into one pass) and large rank <= 3 kernels use the XLA conv op
+    — but never on TPU, where channelless ``conv_general_dilated``
+    lowers catastrophically (and 31x31 crashed the runtime)."""
     ndim = xp.ndim
-    if ndim > 3 or int(np.prod(w.shape)) <= 64:
+    from cupyimg_tpu.ops import pallas_stencil as _ps
+
+    if not isinstance(w, (np.ndarray, jax.core.Tracer)):
+        w_np = np.asarray(w)
+    else:
+        w_np = w
+    if isinstance(w_np, np.ndarray) and _ps.supports_dense(xp, w_np):
+        # VALID correlation == mode-agnostic interior of the centered
+        # correlate: out_valid[i] = sum_k w[k] xp[i+k]
+        full = _ps.fused_dense_correlate(
+            xp, np.asarray(w_np, np.float64),
+            [0] * ndim, "constant", 0.0,
+        )
+        sl = tuple(
+            slice(s // 2, s // 2 + n)
+            for s, n in zip(w_np.shape, out_shape)
+        )
+        return full[sl]
+    if (
+        ndim > 3
+        or int(np.prod(w.shape)) <= 64
+        or jax.default_backend() == "tpu"
+    ):
         import itertools
 
         out = None
@@ -400,6 +424,18 @@ def choose_conv_method(in1, in2, mode="full", measure=False):
     full_out = [a + b - 1 for a, b in zip(s1, s2)]
     N = float(np.prod(full_out))
     fft_ops = 3.0 * N * np.log(max(N, 2.0))
+    if jax.default_backend() == "tpu":
+        # measured v5e crossover: the Pallas dense engine runs at
+        # ~2.5 ps/tap/point while XLA's TPU FFT path costs
+        # ~40 ps * N * log2(N) per transform set — direct stays ahead
+        # until a few hundred taps on image-sized inputs
+        n_taps = float(min(np.prod(s1), np.prod(s2)))
+        t_direct = 2.5e-12 * direct_ops
+        t_fft = 4.0e-11 * N * np.log2(max(N, 2.0))
+        return "fft" if (
+            t_direct > t_fft
+            or n_taps > 1300  # dense-engine unroll cap
+        ) else "direct"
     constant = 10963.92 if volume.ndim == 1 else 8899.11
     return "fft" if direct_ops > constant / 1e4 * fft_ops * 1e4 / 1e4 and \
         direct_ops > 1e4 and direct_ops > fft_ops * 2.5 else "direct"
@@ -425,8 +461,13 @@ def convolve(in1, in2, mode="full", method="auto"):
             out = jnp.rint(out)
         return out.astype(result_type)
     elif method == "direct":
-        # convolution = correlation with the flipped kernel (no conj)
-        w = jnp.flip(kernel)
+        # convolution = correlation with the flipped kernel (no conj);
+        # flip concretely when possible so the Pallas dense engine
+        # (which needs numpy weights for static tap skipping) applies
+        if isinstance(kernel, jax.core.Tracer):
+            w = jnp.flip(kernel)
+        else:
+            w = np.flip(np.asarray(kernel))
         return _direct_correlate_nd(volume, w, mode)
     raise ValueError("Acceptable method flags are 'auto', 'direct', or "
                      "'fft'.")
@@ -450,7 +491,11 @@ def correlate(in1, in2, mode="full", method="auto"):
     swapped = _inputs_swap_needed(mode, in1.shape, in2.shape)
     if swapped:
         in1, in2 = in2, in1
-    out = _direct_correlate_nd(in1, in2.conj(), mode)
+    if isinstance(in2, jax.core.Tracer):
+        w = in2.conj()
+    else:
+        w = np.conj(np.asarray(in2))  # concrete: Pallas engine applies
+    out = _direct_correlate_nd(in1, w, mode)
     if swapped:
         out = _reverse_and_conj(out)
     return out
