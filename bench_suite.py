@@ -128,6 +128,20 @@ def main():
     emit("laplace_2d_4096",
          _slope_ms(lambda v: ndi.laplace(v), img), nb2)
 
+    # --- dense (non-separable) stencils -----------------------------------
+    for k in (7, 15):
+        kd = jnp.asarray(rng.randn(k, k).astype(np.float32))
+        emit(
+            f"correlate_dense_2d_4096_k{k}",
+            _slope_ms(
+                lambda v, kd=kd: ndi.correlate(
+                    v, kd, mode="reflect", dtype_mode="float"
+                ),
+                img,
+            ),
+            nb2,
+        )
+
     # --- morphology + rank suite -----------------------------------------
     emit("minimum_3d_256c_s5",
          _slope_ms(lambda v: ndi.minimum_filter(v, 5), vol), nb3)
