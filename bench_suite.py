@@ -188,12 +188,10 @@ def main():
                    n1=1, n2=6))
     emit("spline_filter_2d_4096_ord3",
          _slope_ms(lambda v: ndi.spline_filter(v, order=3), img), nb2)
+    coords3 = jnp.mgrid[0:128, 0:128, 0:128].astype(jnp.float32) + 0.37
     emit("map_coords_3d_128c_order1",
-         _warm_ms(lambda: ndi.map_coordinates(
-             vol[:128, :128, :128],
-             jnp.mgrid[0:128, 0:128, 0:128].astype(jnp.float32),
-             order=1,
-         )))
+         _slope_ms(lambda v: ndi.map_coordinates(v, coords3, order=1),
+                   vol[:128, :128, :128], n1=1, n2=6))
     # smooth 2-D dense warp -> locality-adaptive one-hot gather
     _rr, _cc = np.mgrid[0:2048, 0:2048].astype(np.float32)
     warp_coords = jnp.asarray(np.stack([
@@ -236,16 +234,28 @@ def main():
     # --- registration / restoration suite ---------------------------------
     a = jnp.asarray(rng.randn(1024, 1024).astype(np.float32))
     b = jnp.roll(a, (5, -3), axis=(0, 1))
-    emit("phase_cross_corr_1024_up10",
-         _warm_ms(lambda: registration.phase_cross_correlation(
-             a, b, upsample_factor=10)[0]))
+    # the registration/restoration pipelines are device-side and
+    # jittable: slope-time by chaining a scalar of the result back
+    # into the input (otherwise the relay's ~30 ms sync floor swamps
+    # the measurement)
+    def _pcc_step(v):
+        sh, err, _ = registration.phase_cross_correlation(
+            v, b, upsample_factor=10)
+        return v + (sh[0] + err).astype(v.dtype) * np.float32(1e-20)
+
+    emit("phase_cross_corr_1024_up10", _slope_ms(_pcc_step, a,
+                                                 n1=1, n2=6))
     psf = jnp.ones((5, 5), jnp.float32) / 25
     small = jnp.clip(a[:512, :512] * 0.1 + 0.5, 0, 1)
     emit("richardson_lucy_512_it10",
-         _warm_ms(lambda: restoration.richardson_lucy(
-             small, psf, iterations=10, clip=False)))
+         _slope_ms(lambda v: restoration.richardson_lucy(
+             v, psf, iterations=10, clip=False) * np.float32(0.99)
+             + np.float32(0.005),
+             small, n1=1, n2=6))
     emit("wiener_hunt_1024",
-         _warm_ms(lambda: restoration.wiener(a, psf, 0.1, clip=False)))
+         _slope_ms(lambda v: restoration.wiener(
+             v, psf, 0.1, clip=False) * np.float32(1e-3),
+             a, n1=1, n2=6))
 
     print(json.dumps({"sync_floor_ms": round(_sync_floor_ms(), 3)}))
 

@@ -196,20 +196,25 @@ def _separable_coords(coordinates, ndim):
         return None
     if isinstance(coordinates, jax.core.Tracer):
         return None
-    checks = []
+    # numpy on the concrete array: jnp reductions would become tracers
+    # under an outer jit (closure constants trace), breaking the bool
+    # test; np.asarray is the same single host sync in eager mode and
+    # free at trace time
+    cnp = np.asarray(coordinates)
     refs = []
     for j in range(ndim):
-        c = coordinates[j]
+        c = cnp[j]
         sl = tuple(
             0 if k != j else slice(None) for k in range(ndim)
         )
         ref = c[sl]
         shape = [1] * ndim
         shape[j] = -1
-        checks.append(jnp.all(c == ref.reshape(shape)))
-        refs.append(ref)
-    if not bool(jnp.all(jnp.stack(checks))):
-        return None
+        if not np.array_equal(
+            c, np.broadcast_to(ref.reshape(shape), c.shape)
+        ):
+            return None
+        refs.append(jnp.asarray(ref))
     return refs
 
 

@@ -272,6 +272,10 @@ def phase_cross_correlation(
     )
     if not return_error:
         return shifts
+    if isinstance(nan_found, jax.core.Tracer):
+        # under jit the NaN check cannot raise eagerly; NaNs propagate
+        # into the returned shifts/error instead
+        return shifts, error, phasediff
     if bool(nan_found):
         raise ValueError(
             "NaN values found, please remove NaNs from your "
