@@ -188,6 +188,17 @@ def main():
                    n1=1, n2=6))
     emit("spline_filter_2d_4096_ord3",
          _slope_ms(lambda v: ndi.spline_filter(v, order=3), img), nb2)
+    emit(
+        "rotate_3d_256c_order1",
+        _slope_ms(
+            lambda v: ndi.rotate(
+                v, 17.0, axes=(1, 2), reshape=False, order=1,
+                mode="nearest", prefilter=False,
+            ),
+            vol, n1=1, n2=4,
+        ),
+        nb3,
+    )
     coords3 = jnp.mgrid[0:128, 0:128, 0:128].astype(jnp.float32) + 0.37
     emit("map_coords_3d_128c_order1",
          _slope_ms(lambda v: ndi.map_coordinates(v, coords3, order=1),

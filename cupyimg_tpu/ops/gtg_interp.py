@@ -73,7 +73,7 @@ from cupyimg_tpu.core import boundary
 from cupyimg_tpu.ops.interp import spline_weights
 from cupyimg_tpu.ops.iir import get_spline_mode
 
-__all__ = ["affine_gtg_2d", "gtg_plan"]
+__all__ = ["affine_gtg_2d", "affine_gtg_batched2d", "gtg_plan"]
 
 _LANES = 128
 _SLAB0 = 128          # slab rows (sublane span budget incl. 8-align slack)
@@ -134,8 +134,14 @@ def _quant(a):
     return int(round(a * (1 << _Q)))
 
 
-def _make_kernel(mshape, lo0, lo1, order, TI, NP, NW, interpret):
-    """Kernel body; every parameter is a Python scalar baked in."""
+def _make_kernel(mshape, lo0, lo1, order, TI, NP, NW, interpret,
+                 NBC=0):
+    """Kernel body; every parameter is a Python scalar baked in.
+
+    ``NBC`` > 0 selects the batched-plane layout: each grid step
+    resamples NBC leading planes with the SAME 2-D affine, sharing the
+    per-tile routing (inversion, weights, tap indices) across planes
+    (a 3-D volume rotate about one axis is the common caller)."""
     a00, a01, a10, a11, o0, o1 = mshape
     f32 = np.float32
     a00f, a01f, a10f, a11f = f32(a00), f32(a01), f32(a10), f32(a11)
@@ -146,31 +152,41 @@ def _make_kernel(mshape, lo0, lo1, order, TI, NP, NW, interpret):
     base_off = -1 if order >= 2 else 0
     ntaps = order + 1 if order > 0 else 1
     half = f32(0.5) if order == 0 else f32(0.0)  # round-to-nearest tap
+    batched = NBC > 0
 
     def kernel(rmin_ref, cmin_ref, x_any, out_ref, slab, sem):
         bi = pl.program_id(0)
         bj = pl.program_id(1)
         g1 = pl.num_programs(1)
-        t = bi * g1 + bj
-        nt = pl.num_programs(0) * g1
+        tij = bi * g1 + bj
+        if batched:
+            bb = pl.program_id(2)
+            gb = pl.num_programs(2)
+            t = tij * gb + bb
+            nt = pl.num_programs(0) * g1 * gb
+        else:
+            bb = None
+            gb = 1
+            t = tij
+            nt = pl.num_programs(0) * g1
         two = jnp.asarray(2, t.dtype)
         slot = lax.rem(t, two)
         nslot = lax.rem(t + 1, two)
 
         def dma(sl, tt):
-            return pltpu.make_async_copy(
-                x_any.at[
-                    pl.ds(pl.multiple_of(rmin_ref[tt], 8), _SLAB0),
-                    pl.ds(
-                        pl.multiple_of(
-                            (cmin_ref[tt] // 128) * 128, 128
-                        ),
-                        _SLAB1,
-                    ),
-                ],
-                slab.at[sl],
-                sem.at[sl],
+            gbt = jnp.asarray(gb, tt.dtype)
+            ij = lax.div(tt, gbt) if batched else tt
+            rows = pl.ds(pl.multiple_of(rmin_ref[ij], 8), _SLAB0)
+            cols = pl.ds(
+                pl.multiple_of((cmin_ref[ij] // 128) * 128, 128),
+                _SLAB1,
             )
+            if batched:
+                bt = lax.rem(tt, gbt)
+                src = x_any.at[pl.ds(bt * NBC, NBC), rows, cols]
+            else:
+                src = x_any.at[rows, cols]
+            return pltpu.make_async_copy(src, slab.at[sl], sem.at[sl])
 
         @pl.when(t == 0)
         def _():
@@ -181,8 +197,8 @@ def _make_kernel(mshape, lo0, lo1, order, TI, NP, NW, interpret):
             dma(nslot, t + 1).start()
 
         dma(slot, t).wait()
-        rmin8 = rmin_ref[t]
-        cmin_true = cmin_ref[t]
+        rmin8 = rmin_ref[tij]
+        cmin_true = cmin_ref[tij]
         shift = cmin_true - (cmin_true // 128) * 128  # in [0, 128)
         raw = slab[slot]
         # left-roll by `shift` so local column tap 0 sits at lane 0
@@ -190,13 +206,34 @@ def _make_kernel(mshape, lo0, lo1, order, TI, NP, NW, interpret):
             jnp.asarray(_SLAB1, shift.dtype) - shift,
             jnp.asarray(_SLAB1, shift.dtype),
         )
-        rolled = pltpu.roll(raw, amt, 1) if not interpret else (
-            jnp.roll(raw, amt, axis=1))
-        win0 = rolled[:, :_LANES]
-        win1 = rolled[:, _LANES : 2 * _LANES] if NW == 2 else None
 
-        def col_gather(idx):
+        def _roll(a):
+            return pltpu.roll(a, amt, 1) if not interpret else (
+                jnp.roll(a, amt, axis=1))
+
+        if batched:
+            wins = []
+            for pn in range(NBC):
+                rolled = _roll(raw[pn])
+                wins.append(
+                    (
+                        rolled[:, :_LANES],
+                        rolled[:, _LANES : 2 * _LANES]
+                        if NW == 2 else None,
+                    )
+                )
+        else:
+            rolled = _roll(raw)
+            wins = [
+                (
+                    rolled[:, :_LANES],
+                    rolled[:, _LANES : 2 * _LANES] if NW == 2 else None,
+                )
+            ]
+
+        def col_gather(win, idx):
             """Value at local column tap ``idx`` (0..NW*128-1)."""
+            win0, win1 = win
             g = jnp.take_along_axis(
                 win0, jnp.clip(idx, 0, _LANES - 1), axis=1
             )
@@ -257,10 +294,16 @@ def _make_kernel(mshape, lo0, lo1, order, TI, NP, NW, interpret):
         s0_base = (s0A + (rmin8 - lo0 - base_off)).astype(f32)
 
         wrB = _tap_weights(frB, order)
-        acc = jnp.zeros((_LANES, _LANES), f32)
+        if NP == 2:
+            di_first_B = inv_first(rqB, jB)
+            selB = dB.astype(f32) - di_first_B < f32(0.5)
+        accs = [jnp.zeros((_LANES, _LANES), f32) for _ in wins]
         for ki in range(ntaps):
+            # routing shared across planes: the inversion, column tap
+            # indices, and both weight sets depend only on the tile
             di_first_A = inv_first(s0_base - f32(ki), djA)
-            Ats = []
+            cls = []
+            wcs = []
             for p in range(NP):
                 di_p = di_first_A + f32(p)  # tile-local row, f32 ints
                 di_pi = di_p.astype(jnp.int32)
@@ -272,23 +315,28 @@ def _make_kernel(mshape, lo0, lo1, order, TI, NP, NW, interpret):
                     + (lo1 + base_off)
                     - cmin_true
                 )
-                wcA = _tap_weights(fcA, order)
-                A = jnp.zeros((_SLAB0, _LANES), f32)
-                for kj in range(ntaps):
-                    A = A + wcA[kj] * col_gather(cl + kj)
-                Ats.append(A.T)
-            # B-stage: gather each point's ki-th row tap
+                cls.append(cl)
+                wcs.append(_tap_weights(fcA, order))
             idxB = jnp.clip(rlB + ki, 0, _SLAB0 - 1)
-            CB = jnp.take_along_axis(Ats[0], idxB, axis=1)
-            if NP == 2:
-                C1 = jnp.take_along_axis(Ats[1], idxB, axis=1)
-                # which pass holds this point: p = di - di_first(rq, j)
-                di_first_B = inv_first(rqB, jB)
-                CB = jnp.where(
-                    dB.astype(f32) - di_first_B < f32(0.5), CB, C1
-                )
-            acc = acc + wrB[ki] * CB
-        out_ref[...] = acc.T[:TI].astype(out_ref.dtype)
+            for pn, win in enumerate(wins):
+                Ats = []
+                for p in range(NP):
+                    A = jnp.zeros((_SLAB0, _LANES), f32)
+                    for kj in range(ntaps):
+                        A = A + wcs[p][kj] * col_gather(
+                            win, cls[p] + kj
+                        )
+                    Ats.append(A.T)
+                CB = jnp.take_along_axis(Ats[0], idxB, axis=1)
+                if NP == 2:
+                    C1 = jnp.take_along_axis(Ats[1], idxB, axis=1)
+                    CB = jnp.where(selB, CB, C1)
+                accs[pn] = accs[pn] + wrB[ki] * CB
+        if batched:
+            for pn, acc in enumerate(accs):
+                out_ref[pn] = acc.T[:TI].astype(out_ref.dtype)
+        else:
+            out_ref[...] = accs[0].T[:TI].astype(out_ref.dtype)
 
     return kernel
 
@@ -297,17 +345,25 @@ def _make_kernel(mshape, lo0, lo1, order, TI, NP, NW, interpret):
     jax.jit,
     static_argnames=(
         "lo0", "lo1", "mshape", "order", "TI", "NP", "NW", "out_shape",
-        "interpret",
+        "interpret", "NBC",
     ),
 )
 def _gtg_call(xext, lo0, lo1, mshape, order, TI, NP, NW, out_shape,
-              interpret=False):
+              interpret=False, NBC=0):
     H, W = out_shape
     G0 = -(-H // TI)
     G1 = -(-W // _LANES)
-    # guard pad so clipped slab origins always read in-bounds
-    xg = jnp.pad(xext, ((0, _SLAB0), (0, _SLAB1)))
-    Hp, Wp = xg.shape
+    # guard pad so clipped slab origins always read in-bounds; batched
+    # inputs also pad to whole plane chunks
+    if NBC:
+        GB = -(-xext.shape[0] // NBC)
+        xg = jnp.pad(
+            xext,
+            ((0, GB * NBC - xext.shape[0]), (0, _SLAB0), (0, _SLAB1)),
+        )
+    else:
+        xg = jnp.pad(xext, ((0, _SLAB0), (0, _SLAB1)))
+    Hp, Wp = xg.shape[-2:]
 
     # ---- per-tile slab origins, computed ONCE outside the kernel and
     # fed via scalar prefetch (a pipelined in-kernel recomputation at
@@ -341,6 +397,40 @@ def _gtg_call(xext, lo0, lo1, mshape, order, TI, NP, NW, out_shape,
     cmin_true = jnp.clip(cmin, 0, Wp - _SLAB1)
     rmin_flat = rmin8.reshape(-1)
     cmin_flat = cmin_true.reshape(-1)
+
+    if NBC:
+        NB = xext.shape[0]
+        GB = xg.shape[0] // NBC
+        kernel = _make_kernel(
+            mshape, int(lo0), int(lo1), int(order), int(TI),
+            int(NP), int(NW), bool(interpret), NBC=int(NBC),
+        )
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(G0, G1, GB),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec(
+                (NBC, TI, _LANES), lambda i, j, b, *_: (b, i, j)
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((2, NBC, _SLAB0, _SLAB1), xext.dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        )
+        out = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct(
+                (GB * NBC, G0 * TI, G1 * _LANES), xext.dtype
+            ),
+            grid_spec=grid_spec,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=(
+                    "arbitrary", "arbitrary", "arbitrary"
+                ),
+            ),
+            interpret=interpret,
+        )(rmin_flat, cmin_flat, xg)
+        return out[:NB, :H, :W]
 
     kernel = _make_kernel(
         mshape, int(lo0), int(lo1), int(order), int(TI), int(NP),
@@ -447,3 +537,81 @@ def affine_gtg_2d(x, matrix, offset, order, mode, cval, out_shape,
         int(NP), int(NW), oshape, interpret=bool(interpret),
     )
     return out.T if swapped else out
+
+
+def affine_gtg_batched2d(x, matrix, offset, order, mode, cval,
+                         out_shape, interpret=False):
+    """Batched GTG: ``x`` is (NB, H, W) and the same 2-D affine
+    resamples every leading plane, sharing the per-tile routing
+    (inversion, tap indices, weights) across a chunk of planes per
+    grid step.  The volume-rotate path
+    (scipy/ndimage/interpolation._try_batched_plane_onehot) is the
+    caller.  Returns None when the plan gates reject."""
+    if not interpret and jax.default_backend() != "tpu":
+        return None
+    if x.ndim != 3 or np.dtype(x.dtype).kind != "f":
+        return None
+    if np.dtype(x.dtype).itemsize > 4:
+        return None
+    if order not in (0, 1, 3):
+        return None
+    if not interpret and x.size < (1 << 20):
+        return None
+    try:
+        matrix = np.asarray(matrix, dtype=np.float64)
+        offset = np.asarray(offset, dtype=np.float64).reshape(2)
+    except Exception:
+        return None
+    if mode not in (
+        "nearest", "reflect", "mirror", "grid-wrap", "grid-mirror",
+        "constant", "grid-constant",
+    ):
+        return None
+    if order == 0 and mode in (
+        "reflect", "mirror", "grid-mirror", "grid-wrap",
+    ):
+        return None
+    plan = gtg_plan(matrix, order, tuple(int(v) for v in out_shape))
+    if plan is None:
+        return None
+    swapped, (a00, a01, a10, a11), TI, NP, NW, oshape = plan
+    o0, o1 = float(offset[0]), float(offset[1])
+
+    G0 = -(-oshape[0] // TI)
+    G1 = -(-oshape[1] // _LANES)
+    hi_i = G0 * TI - 1
+    hi_j = G1 * _LANES - 1
+    corners = np.array(
+        [[0, 0], [0, hi_j], [hi_i, 0], [hi_i, hi_j]], dtype=np.float64
+    )
+    m_or = np.array([[a00, a01], [a10, a11]])
+    src = corners @ m_or.T + np.array([o0, o1])
+    margin = order + 4
+    pads = []
+    for ax in range(2):
+        lo = max(0, int(math.ceil(-src[:, ax].min())) + margin)
+        hi = max(
+            0,
+            int(math.ceil(src[:, ax].max() - (x.shape[1 + ax] - 1)))
+            + margin,
+        )
+        pads.append((lo, hi))
+    if any(
+        max(plo, phi) >= s
+        for (plo, phi), s in zip(pads, x.shape[1:])
+    ) and mode not in ("constant", "grid-constant", "nearest"):
+        return None
+    if order >= 2 and mode not in ("grid-constant", "nearest"):
+        pad_mode = get_spline_mode(mode)
+    else:
+        pad_mode = mode
+    xext = boundary.pad(x, [(0, 0)] + list(pads), pad_mode, cval)
+
+    mshape = (a00, a01, a10, a11, o0, o1)
+    nbc = min(4, int(x.shape[0]))
+    out = _gtg_call(
+        xext, pads[0][0], pads[1][0], mshape, int(order), int(TI),
+        int(NP), int(NW), oshape, interpret=bool(interpret),
+        NBC=nbc,
+    )
+    return jnp.swapaxes(out, 1, 2) if swapped else out

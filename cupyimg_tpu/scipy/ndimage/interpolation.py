@@ -511,10 +511,14 @@ def _try_batched_plane_onehot(
         # boundary family, as axis_taps would.
         from cupyimg_tpu.scipy.ndimage.filters import correlate1d
 
-        w = [
-            float(v[0])
-            for v in interp.spline_weights(jnp.zeros((1,)), order)
-        ]
+        # constant weights (spline kernel at integer coordinates):
+        # force eager evaluation so an outer jit doesn't turn them
+        # into tracers that float() rejects
+        with jax.ensure_compile_time_eval():
+            w = [
+                float(v[0])
+                for v in interp.spline_weights(jnp.zeros((1,)), order)
+            ]
         tap_mode = iir.get_spline_mode(mode) if npad == 0 else "nearest"
         for ax in range(ndim):
             if ax in (p, q):
@@ -535,10 +539,17 @@ def _try_batched_plane_onehot(
     batch_shape = moved.shape[:-2]
     flat = moved.reshape((-1,) + moved.shape[-2:])
 
-    out2 = onehot_interp.affine_onehot_batched2d(
+    from cupyimg_tpu.ops import gtg_interp
+
+    out2 = gtg_interp.affine_gtg_batched2d(
         flat, sub, sub_off + npad, order, mode, cval,
         (output_shape[p], output_shape[q]),
     )
+    if out2 is None:
+        out2 = onehot_interp.affine_onehot_batched2d(
+            flat, sub, sub_off + npad, order, mode, cval,
+            (output_shape[p], output_shape[q]),
+        )
     if out2 is None:
         return None
     out = out2.reshape(batch_shape + out2.shape[1:])

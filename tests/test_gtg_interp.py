@@ -124,3 +124,61 @@ def test_plan_swaps_axes():
     assert plan is not None
     swapped, (a00, _, _, _), _, _, _, oshape = plan
     assert swapped and abs(a00) > 0.9 and oshape == (200, 300)
+
+
+@pytest.mark.parametrize("order", [0, 1, 3])
+def test_batched_planes(order):
+    x = np.random.RandomState(1).rand(5, 220, 240).astype(np.float32)
+    m = _rot(21.0)
+    off = np.array([3.2, -1.7])
+    out = gtg_interp.affine_gtg_batched2d(
+        jnp.asarray(x), m, off, order, "constant", 0.0, x.shape[1:],
+        interpret=True,
+    )
+    assert out is not None
+    ref = np.stack(
+        [
+            sndi.affine_transform(
+                x[b].astype(np.float64), m, offset=off, order=order,
+                mode="constant", prefilter=False,
+            )
+            for b in range(x.shape[0])
+        ]
+    )
+    ii, jj = np.mgrid[0 : x.shape[1], 0 : x.shape[2]]
+    r = m[0, 0] * ii + m[0, 1] * jj + off[0]
+    c = m[1, 0] * ii + m[1, 1] * jj + off[1]
+    valid = (
+        (r >= 1) & (r <= x.shape[1] - 2)
+        & (c >= 1) & (c <= x.shape[2] - 2)
+    )
+    err = np.abs(np.asarray(out, np.float64) - ref) * valid[None]
+    if order == 0:
+        assert (err > 1e-6).mean() < 1e-3
+    else:
+        assert err.max() < 3e-4
+
+
+def test_batched_swapped_orientation():
+    x = np.random.RandomState(2).rand(3, 200, 260).astype(np.float32)
+    m = _rot(80.0)
+    out = gtg_interp.affine_gtg_batched2d(
+        jnp.asarray(x), m, np.array([2.0, 200.0]), 1, "constant",
+        0.0, x.shape[1:], interpret=True,
+    )
+    assert out is not None and out.shape == x.shape
+    ref = np.stack(
+        [
+            sndi.affine_transform(
+                x[b].astype(np.float64), m, offset=[2.0, 200.0],
+                order=1, mode="constant", prefilter=False,
+            )
+            for b in range(3)
+        ]
+    )
+    ii, jj = np.mgrid[0:200, 0:260]
+    r = m[0, 0] * ii + m[0, 1] * jj + 2.0
+    c = m[1, 0] * ii + m[1, 1] * jj + 200.0
+    valid = (r >= 1) & (r <= 198) & (c >= 1) & (c <= 258)
+    err = np.abs(np.asarray(out, np.float64) - ref) * valid[None]
+    assert err.max() < 3e-4
