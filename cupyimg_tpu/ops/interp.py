@@ -168,6 +168,13 @@ def axis_taps(c, n: int, order: int, mode: str):
     if mode == "grid-constant":
         tap_mode = "grid-constant"  # per-tap cval
     elif mode == "nearest":
+        # scipy does NOT fold the coordinate into the domain here: taps
+        # come from the raw coordinate and each clamps individually, so
+        # out-of-domain points extrapolate with the edge sample's weight
+        # mass (ni_interpolation.c edge handling).  Clip far enough out
+        # that every tap still clamps to the same edge — keeps the int32
+        # cast safe for arbitrarily large float coordinates.
+        d = jnp.clip(c, -float(order + 2), float(n + order + 1))
         tap_mode = "nearest"
     elif mode == "constant":
         tap_mode = get_spline_mode("constant")  # mirror + outer mask

@@ -97,6 +97,17 @@ def _spline1d_jit(x, order, axis, mode):
     return iir.spline_filter1d(x, order, axis, mode)
 
 
+@functools.partial(jax.jit, static_argnames=("order", "mode", "axes"))
+def _spline_axes_jit(x, order, mode, axes):
+    """Spline prefilter along a subset of axes (rotate's per-plane path)."""
+    y = iir.spline_filter_fir(x, order, axes, mode)
+    if y is not None:
+        return y
+    for axis in axes:
+        x = iir.spline_filter1d(x, order, axis, mode)
+    return x
+
+
 @functools.partial(jax.jit, static_argnames=("order", "mode"))
 def _spline_all_axes_jit(x, order, mode):
     # TPU: all axes (and poles) as fused separable symmetric FIRs —
@@ -556,6 +567,75 @@ def _try_batched_plane_onehot(
     return jnp.moveaxis(out, (ndim - 2, ndim - 1), (p, q))
 
 
+def _prefiltered_plane(x, order, mode, cval, prefilter, allow_float32):
+    """Like ``_prefiltered`` but pads/filters only the last two axes of a
+    (batch, H, W) stack — scipy's per-plane rotate semantics."""
+    work = _float_work_dtype(x.dtype, allow_float32)
+    x = x.astype(work)
+    if prefilter and order > 1:
+        npad = 0
+        if mode in ("nearest", "grid-constant"):
+            npad = 12
+            pads = [(0, 0)] * (x.ndim - 2) + [(npad, npad), (npad, npad)]
+            if mode == "grid-constant":
+                x = _boundary.pad(x, pads, "grid-constant", cval)
+            else:
+                x = _boundary.pad(x, pads, "nearest")
+        y = _spline_axes_jit(x, order, mode, (x.ndim - 2, x.ndim - 1))
+        return y, npad
+    return x, 0
+
+
+def _affine_plane_batched(flat, sub, sub_off, npad, order, mode, cval,
+                          out_plane, orig_plane, allow_float32=True):
+    """Resample every (H, W) plane of ``flat`` (batch, H, W) with the SAME
+    2-D affine: shared-routing GTG kernel, then the one-hot MXU sampler,
+    then a vmapped general gather.  ``sub_off`` excludes the prepad."""
+    from cupyimg_tpu.ops import gtg_interp, onehot_interp
+
+    coord_dtype = np.float32 if allow_float32 else np.float64
+    out2 = gtg_interp.affine_gtg_batched2d(
+        flat, sub, sub_off + npad, order, mode, cval, out_plane,
+    )
+    if out2 is None:
+        out2 = onehot_interp.affine_onehot_batched2d(
+            flat, sub, sub_off + npad, order, mode, cval, out_plane,
+        )
+    if out2 is not None:
+        if mode == "constant":
+            ii = jnp.arange(out_plane[0], dtype=coord_dtype)[:, None]
+            jj = jnp.arange(out_plane[1], dtype=coord_dtype)[None, :]
+            oob = None
+            for j in range(2):
+                cj = (
+                    np.asarray(sub[j, 0], coord_dtype) * ii
+                    + np.asarray(sub[j, 1], coord_dtype) * jj
+                    + np.asarray(sub_off[j], coord_dtype)
+                )
+                m = (cj < 0) | (cj > orig_plane[j] - 1)
+                oob = m if oob is None else oob | m
+            out2 = jnp.where(oob[None], jnp.asarray(cval, out2.dtype), out2)
+        return out2
+
+    ii = jnp.arange(out_plane[0], dtype=coord_dtype)[:, None]
+    jj = jnp.arange(out_plane[1], dtype=coord_dtype)[None, :]
+    coords2 = [
+        jnp.broadcast_to(
+            np.asarray(sub[j, 0], coord_dtype) * ii
+            + np.asarray(sub[j, 1], coord_dtype) * jj
+            + np.asarray(sub_off[j] + npad, coord_dtype),
+            out_plane,
+        )
+        for j in range(2)
+    ]
+    # mode='constant' implies npad == 0 (prepad only happens for
+    # nearest/grid-constant), so gather_general's internal outer mask
+    # already tests against the original domain
+    return jax.vmap(
+        lambda xp: interp.gather_general(xp, coords2, order, mode, cval)
+    )(flat)
+
+
 def _mask_outer_constant_general(out, coords, orig_shape, npad, mode, cval):
     """With prepadding the 'constant' outer-domain test used the padded
     domain inside the gather; re-apply it against the original domain."""
@@ -729,7 +809,7 @@ def rotate(
         axes[1] += x.ndim
     if axes[0] > axes[1]:
         axes = [axes[1], axes[0]]
-    if axes[0] < 0 or x.ndim <= axes[1]:
+    if axes[0] < 0 or x.ndim <= axes[1] or axes[0] == axes[1]:
         raise ValueError("invalid rotation plane specified")
 
     ndim = x.ndim
@@ -751,6 +831,32 @@ def rotate(
     output_shape = img_shape.copy()
     output_shape[axes] = out_plane_shape
     output_shape = tuple(output_shape)
+
+    if ndim > 2 and mode != "_opencv_edge":
+        # scipy >= 1.6 applies the 2-D affine to every plane parallel to
+        # the rotation axes (a host loop there; one batched kernel here).
+        # This differs from embedding the rotation in an ndim identity
+        # matrix when prefilter=False and order >= 2: the nd form would
+        # also apply the integer-coordinate spline kernel (e.g.
+        # [1/6, 2/3, 1/6] for cubic) along the uncoupled axes.  It is
+        # also cheaper: the prefilter runs over 2 axes instead of ndim.
+        p, q = axes
+        moved = jnp.moveaxis(x, (p, q), (ndim - 2, ndim - 1))
+        batch_shape = moved.shape[:-2]
+        flat = moved.reshape((-1,) + moved.shape[-2:])
+        out_dtype = _resolve_out_dtype(output, x)
+        filtered, npad = _prefiltered_plane(
+            flat, order, mode, cval, prefilter, allow_float32,
+        )
+        out_plane = tuple(int(v) for v in out_plane_shape)
+        sub_off = np.asarray(in_center - out_center, dtype=np.float64)
+        out2 = _affine_plane_batched(
+            filtered, rot_matrix, sub_off, npad, order, mode, cval,
+            out_plane, in_plane_shape, allow_float32=allow_float32,
+        )
+        out = out2.reshape(batch_shape + out_plane)
+        out = jnp.moveaxis(out, (ndim - 2, ndim - 1), (p, q))
+        return _finalize(out, out_dtype)
 
     matrix = np.identity(ndim)
     matrix[axes[0], axes[0]] = cos

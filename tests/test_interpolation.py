@@ -203,6 +203,46 @@ class TestShiftZoomRotate:
         exp = ndi.rotate(x, 40.0, axes=(1, 2), order=1)
         np.testing.assert_allclose(np.asarray(got), exp, rtol=1e-7, atol=1e-7)
 
+    @pytest.mark.parametrize("prefilter", [False, True])
+    @pytest.mark.parametrize("mode", ["constant", "nearest", "mirror",
+                                      "grid-wrap"])
+    @pytest.mark.parametrize("order", [0, 2, 3, 5])
+    def test_rotate_3d_per_plane(self, order, mode, prefilter):
+        # scipy rotates each plane with the 2-D affine; with
+        # prefilter=False and order >= 2 that differs from embedding the
+        # rotation in an ndim identity matrix (no off-plane spline taps)
+        x = _img((5, 14, 15))
+        got = tinterp.rotate(x, 23.0, axes=(1, 2), reshape=False,
+                             order=order, mode=mode, cval=1.5,
+                             prefilter=prefilter, allow_float32=False)
+        exp = ndi.rotate(x, 23.0, axes=(1, 2), reshape=False, order=order,
+                         mode=mode, cval=1.5, prefilter=prefilter)
+        np.testing.assert_allclose(np.asarray(got), exp, rtol=2e-5,
+                                   atol=2e-5)
+
+    def test_rotate_3d_axes02_reshape(self):
+        x = _img((9, 5, 12))
+        got = tinterp.rotate(x, -31.0, axes=(-1, 0), reshape=True, order=3,
+                             allow_float32=False)
+        exp = ndi.rotate(x, -31.0, axes=(-1, 0), reshape=True, order=3)
+        assert np.asarray(got).shape == exp.shape
+        np.testing.assert_allclose(np.asarray(got), exp, rtol=2e-5,
+                                   atol=2e-5)
+
+    @pytest.mark.parametrize("order", [2, 3, 4, 5])
+    def test_nearest_extrapolates_oob(self, order):
+        # mode='nearest' with order >= 2: scipy keeps the raw coordinate
+        # and clamps each spline tap, so out-of-domain points extrapolate
+        x = _img((9,))
+        coords = np.linspace(-6.0, 14.0, 101)[None]
+        got = tinterp.map_coordinates(x, coords, order=order,
+                                      mode="nearest", prefilter=False,
+                                      allow_float32=False)
+        exp = ndi.map_coordinates(x, coords, order=order, mode="nearest",
+                                  prefilter=False)
+        np.testing.assert_allclose(np.asarray(got), exp, rtol=1e-12,
+                                   atol=1e-12)
+
     def test_zoom_int_output(self):
         x = (np.arange(110).reshape(10, 11) % 17).astype(np.uint8)
         got = tinterp.zoom(x, 1.5, order=1, allow_float32=False)
