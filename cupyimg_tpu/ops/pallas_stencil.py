@@ -46,6 +46,11 @@ _VMEM_LIMIT = 96 * 1024 * 1024
 _VMEM_BUDGET = 6 * 1024 * 1024
 # unrolling very long taps bloats the kernel; fall back beyond this
 _MAX_TAPS = 64
+# 2-D lane-axis correlations at or above this tap count route to the
+# Toeplitz MXU matmul instead of unaligned lane-shift accumulation
+# (measured crossover on v5e: 7-tap shifts 0.47 ms vs matmul 0.52 ms,
+# 25-tap shifts 1.59 ms vs matmul 0.61 ms on a 4096^2 f32 gaussian)
+_LANE_MM2_MIN_TAPS = 9
 
 
 def supports(x, weights):
@@ -239,6 +244,82 @@ def _make_kernel_3d_lanemm(sp0, sp1, S2, B0, B1, sl0, sl1, exact=False):
     return kernel
 
 
+def _toeplitz_lane_w(taps, k_width=256):
+    """(k_width, 128) Toeplitz tap matrix W with W[b + k, b] = taps[k].
+
+    With the input pre-padded by the boundary mode, the lane-axis
+    correlation of output tile j is ``xp[:, 128j : 128j + k_width] @ W``
+    — a 128-aligned lane slice (no VPU lane rotations) contracted on
+    the MXU.  One shared W serves every tile."""
+    W = np.zeros((k_width, 128), dtype=np.float32)
+    for k, w in enumerate(taps):
+        a = np.arange(128) + k
+        W[a, np.arange(128)] = w
+    return W
+
+
+def _make_kernel_2d_lanemm(sp0, B0, sl0, lane_in, n_tiles, exact=False):
+    """2-D kernel: sublane-axis pass as shifted adds, lane-axis pass as
+    per-tile Toeplitz matmuls on the MXU (same hi/lo bf16 3-pass split
+    as the 3-D variant; ~2^-22 relative)."""
+
+    def split3(m):
+        hi = m.astype(jnp.bfloat16)
+        lo = (m - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        return hi, lo
+
+    def kernel(x_any, wmat, out_ref, slab, sem):
+        t = jnp.asarray(pl.program_id(0), jnp.int32)
+        n_t = jnp.asarray(pl.num_programs(0), jnp.int32)
+        two = jnp.asarray(2, t.dtype)
+        slot = jax.lax.rem(t, two)
+        next_slot = jax.lax.rem(t + 1, two)
+
+        def dma(tt, sl):
+            return pltpu.make_async_copy(
+                x_any.at[pl.ds(tt * B0, sl0), :],
+                slab.at[sl],
+                sem.at[sl],
+            )
+
+        @pl.when(t == 0)
+        def _():
+            dma(t, slot).start()
+
+        @pl.when(t + 1 < n_t)
+        def _():
+            dma(t + 1, next_slot).start()
+
+        dma(t, slot).wait()
+
+        x = slab[slot]
+        acc = (
+            _axis_apply(sp0, lambda k: x[k : k + B0])
+            if sp0 is not None else x
+        )
+        if exact:
+            for j in range(n_tiles):
+                seg = acc[:, 128 * j : 128 * j + 256]
+                out_ref[:, 128 * j : 128 * (j + 1)] = jnp.dot(
+                    seg, wmat[:], preferred_element_type=jnp.float32
+                ).astype(out_ref.dtype)
+        else:
+            whi, wlo = split3(wmat[:])
+            for j in range(n_tiles):
+                seg = acc[:, 128 * j : 128 * j + 256]
+                shi, slo = split3(seg)
+                o = jnp.dot(shi, whi, preferred_element_type=jnp.float32)
+                o = o + jnp.dot(
+                    shi, wlo, preferred_element_type=jnp.float32)
+                o = o + jnp.dot(
+                    slo, whi, preferred_element_type=jnp.float32)
+                out_ref[:, 128 * j : 128 * (j + 1)] = o.astype(
+                    out_ref.dtype
+                )
+
+    return kernel
+
+
 def _make_kernel_3d(sp0, sp1, sp2, S2, B0, B1, sl0, sl1):
     def kernel(x_any, out_ref, slab, sem):
         # double-buffered halo'd slab loads: kick off the next grid
@@ -402,6 +483,17 @@ def _fused_separable(x, specs, origins, modes, cval, interpret):
         and shape[2] <= 768
         and np.dtype(dtype) == np.float32
     )
+    # 2-D lane-axis correlation as per-tile Toeplitz MXU matmuls on
+    # 128-aligned slices: the shift path's unaligned lane slices cost
+    # one VPU lane-rotation per tap, which dominates for wide taps
+    # (gaussian sigma=3 ran at 85 GB/s vs uniform size=7 at 286 GB/s)
+    lane_mm2 = (
+        ndim == 2
+        and specs[1] is not None
+        and specs[1][0] == "corr"
+        and np.dtype(dtype) == np.float32
+        and len(specs[1][1]) >= _LANE_MM2_MIN_TAPS
+    )
 
     # per-axis (lo, hi) boundary extension: scipy window convention
     pads = []
@@ -425,6 +517,11 @@ def _fused_separable(x, specs, origins, modes, cval, interpret):
     # lane axis: halo'd extent rounded up to full 128-lane tiles
     lane_lo, lane_hi = pads[-1]
     lane = _round_up(shape[-1] + lane_lo + lane_hi, 128)
+    if lane_mm2:
+        # tile j contracts xp[:, 128j : 128j + 256]; the last output
+        # tile therefore needs the input to extend 128 lanes past it
+        lane_out2 = _round_up(shape[-1], 128)
+        lane = lane_out2 + 128
     blocks = _choose_blocks(
         shape, halos, lane, np.dtype(dtype).itemsize
     )
@@ -550,6 +647,38 @@ def _fused_separable(x, specs, origins, modes, cval, interpret):
             interpret=interpret,
         )(xp)
         out = out[: shape[0], : shape[1], : shape[2]]
+    elif lane_mm2:
+        (B0,) = blocks
+        n_tiles = lane_out2 // 128
+        W = _toeplitz_lane_w(specs[1][1])
+        kernel = _make_kernel_2d_lanemm(
+            specs[0], B0, slabs[0], lane, n_tiles, exact=interpret
+        )
+        out = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct(
+                (grid[0] * B0, lane_out2), dtype
+            ),
+            grid=(grid[0],),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (B0, lane_out2), lambda i: (i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((2, slabs[0], lane), dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+                vmem_limit_bytes=_VMEM_LIMIT,
+            ),
+            interpret=interpret,
+        )(xp, jnp.asarray(W))
+        out = out[: shape[0], : shape[1]]
     else:
         (B0,) = blocks
         kernel = _make_kernel_2d(
@@ -678,6 +807,82 @@ def _make_dense_kernel_2d(taps, S1, B0, sl0):
     return kernel
 
 
+def _make_dense_kernel_2d_lanemm(taps, wshape, B0, sl0, n_tiles,
+                                 exact=False):
+    """2-D dense stencil with the lane correlation on the MXU: for each
+    kernel row ki a Toeplitz tap matrix W_ki, and per output tile j
+    ``out += x[ki : ki + B0, 128j : 128j + 256] @ W_ki`` — 128-aligned
+    slices only, no VPU lane rotations (the shift path pays one per
+    nonzero tap, 225 for a 15x15 kernel)."""
+    rows = _group_taps_by_row(taps)
+    Ws = []
+    for ki, lane_taps in rows:
+        dense = [0.0] * wshape[1]
+        for (kj,), w in lane_taps:
+            dense[kj] = w
+        Ws.append(_toeplitz_lane_w(tuple(dense)))
+    W3 = np.stack(Ws)  # (nrows, 256, 128)
+    row_kis = [ki for ki, _ in rows]
+
+    def kernel(x_any, wmat, out_ref, slab, sem):
+        t = jnp.asarray(pl.program_id(0), jnp.int32)
+        n_t = jnp.asarray(pl.num_programs(0), jnp.int32)
+        two = jnp.asarray(2, t.dtype)
+        slot = jax.lax.rem(t, two)
+        next_slot = jax.lax.rem(t + 1, two)
+
+        def dma(tt, sl):
+            return pltpu.make_async_copy(
+                x_any.at[pl.ds(tt * B0, sl0), :],
+                slab.at[sl],
+                sem.at[sl],
+            )
+
+        @pl.when(t == 0)
+        def _():
+            dma(t, slot).start()
+
+        @pl.when(t + 1 < n_t)
+        def _():
+            dma(t + 1, next_slot).start()
+
+        dma(t, slot).wait()
+        x = slab[slot]
+        if exact:
+            for j in range(n_tiles):
+                acc = None
+                for r, ki in enumerate(row_kis):
+                    seg = x[ki : ki + B0, 128 * j : 128 * j + 256]
+                    o = jnp.dot(seg, wmat[r],
+                                preferred_element_type=jnp.float32)
+                    acc = o if acc is None else acc + o
+                out_ref[:, 128 * j : 128 * (j + 1)] = acc.astype(
+                    out_ref.dtype
+                )
+            return
+        xhi = x.astype(jnp.bfloat16)
+        xlo = (x - xhi.astype(jnp.float32)).astype(jnp.bfloat16)
+        whi = wmat[:].astype(jnp.bfloat16)
+        wlo = (wmat[:] - whi.astype(jnp.float32)).astype(jnp.bfloat16)
+        for j in range(n_tiles):
+            acc = None
+            for r, ki in enumerate(row_kis):
+                shi = xhi[ki : ki + B0, 128 * j : 128 * j + 256]
+                slo = xlo[ki : ki + B0, 128 * j : 128 * j + 256]
+                o = jnp.dot(shi, whi[r],
+                            preferred_element_type=jnp.float32)
+                o = o + jnp.dot(shi, wlo[r],
+                                preferred_element_type=jnp.float32)
+                o = o + jnp.dot(slo, whi[r],
+                                preferred_element_type=jnp.float32)
+                acc = o if acc is None else acc + o
+            out_ref[:, 128 * j : 128 * (j + 1)] = acc.astype(
+                out_ref.dtype
+            )
+
+    return kernel, W3
+
+
 def _make_dense_kernel_3d(taps, S2, B0, B1, sl0, sl1):
     def kernel(x_any, out_ref, slab, sem):
         i32 = lambda v: jnp.asarray(v, jnp.int32)  # noqa: E731
@@ -771,18 +976,31 @@ def _fused_dense(x, taps, wshape, origins, mode, cval, interpret):
         pads.append((lo, hi))
         halos.append(size - 1)
 
+    # wide kernel rows route the lane correlation to per-row Toeplitz
+    # MXU matmuls (cost scales with kernel rows, not nonzero taps)
+    lane_mm2 = (
+        ndim == 2
+        and _LANE_MM2_MIN_TAPS <= wshape[1] <= 128
+        and np.dtype(dtype) == np.float32
+    )
     lane_lo, lane_hi = pads[-1]
     lane = _round_up(shape[-1] + lane_lo + lane_hi, 128)
+    if lane_mm2:
+        lane_out2 = _round_up(shape[-1], 128)
+        lane = lane_out2 + 128
     blocks = _choose_blocks(
         shape, halos, lane, np.dtype(dtype).itemsize
     )
     # many-tap unrolls raise Mosaic's register pressure (a 15x15 unroll
     # at B0=256 spilled 213 MB); shrink the leading block with tap count
+    # (the matmul path keeps full blocks — taps live in the W operand,
+    # not in unrolled vregs)
     nnz = len(taps)
-    if nnz > 96:
-        blocks[0] = min(blocks[0], 64)
-    if nnz > 384:
-        blocks[0] = min(blocks[0], 32)
+    if not lane_mm2:
+        if nnz > 96:
+            blocks[0] = min(blocks[0], 64)
+        if nnz > 384:
+            blocks[0] = min(blocks[0], 32)
 
     slabs = []
     for ax, b in enumerate(blocks):
@@ -847,6 +1065,36 @@ def _fused_dense(x, taps, wshape, origins, mode, cval, interpret):
         return out[: shape[0], : shape[1], : shape[2]]
 
     (B0,) = blocks
+    if lane_mm2:
+        n_tiles = lane_out2 // 128
+        kernel, W3 = _make_dense_kernel_2d_lanemm(
+            taps, wshape, B0, slabs[0], n_tiles, exact=interpret
+        )
+        out = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct(
+                (grid[0] * B0, lane_out2), dtype
+            ),
+            grid=(grid[0],),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (B0, lane_out2), lambda i: (i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((2, slabs[0], lane), dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+                vmem_limit_bytes=_VMEM_LIMIT,
+            ),
+            interpret=interpret,
+        )(xp, jnp.asarray(W3))
+        return out[: shape[0], : shape[1]]
     kernel = _make_dense_kernel_2d(taps, shape[1], B0, slabs[0])
     out = pl.pallas_call(
         kernel,

@@ -96,6 +96,33 @@ class TestFusedSeparable:
         )
         np.testing.assert_allclose(got, exp, atol=2e-6)
 
+    @pytest.mark.parametrize("mode", ["reflect", "nearest", "wrap",
+                                      "constant"])
+    def test_2d_wide_taps_lane_matmul(self, mode):
+        # >= 9 lane taps route to the Toeplitz MXU matmul path
+        g = np.exp(-0.5 * np.arange(-12, 13) ** 2 / 9.0)
+        g /= g.sum()
+        x = np.random.RandomState(5).rand(40, 173).astype(np.float32)
+        got = _run(x, (tuple(g), tuple(g)), (0, 0), (mode, mode),
+                   cval=0.25)
+        exp = sndi.correlate1d(
+            sndi.correlate1d(
+                x.astype(np.float64), g, axis=0, mode=mode, cval=0.25
+            ),
+            g, axis=1, mode=mode, cval=0.25,
+        )
+        np.testing.assert_allclose(got, exp, atol=2e-6)
+
+    def test_2d_wide_taps_origin_lane_only(self):
+        w = tuple(float(v) for v in np.arange(1, 12) / 66.0)
+        x = np.random.RandomState(6).rand(33, 260).astype(np.float32)
+        got = _run(x, (None, w), (0, 2), ("mirror", "mirror"))
+        exp = sndi.correlate1d(
+            x.astype(np.float64), np.asarray(w), axis=1,
+            mode="mirror", origin=2,
+        )
+        np.testing.assert_allclose(got, exp, atol=2e-6)
+
     def test_supports_gating(self):
         big = jnp.zeros((256, 256, 256), jnp.float32)
         w = (UNIFORM5,) * 3
