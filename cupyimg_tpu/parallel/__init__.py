@@ -21,3 +21,10 @@ from cupyimg_tpu.parallel.halo import (  # noqa: F401
     sharded_fftconvolve,
     sharded_label,
 )
+from cupyimg_tpu.parallel.halo import (  # noqa: F401
+    sharded_map_overlap,
+    sharded_correlate,
+    sharded_convolve,
+    sharded_binary_erosion,
+    sharded_binary_dilation,
+)

@@ -469,3 +469,207 @@ def sharded_label(x, mesh, spec, structure=None):
     new_flat = jnp.where(fg, rank[safe], 0)
     num = rank[n - 1] if n else jnp.asarray(0, np.int32)
     return new_flat.reshape(x.shape), num
+
+
+def _normalize_depth(depth, ndim):
+    """Per-axis (lo, hi) halo widths from an int / seq / seq-of-pairs."""
+    if np.isscalar(depth):
+        return [(int(depth), int(depth))] * ndim
+    out = []
+    for d in depth:
+        if np.isscalar(d):
+            out.append((int(d), int(d)))
+        else:
+            lo, hi = d
+            out.append((int(lo), int(hi)))
+    if len(out) != ndim:
+        raise ValueError("depth must give one entry per array axis")
+    return out
+
+
+def sharded_map_overlap(func, x, depth, mesh, spec, mode="reflect",
+                        cval=0.0):
+    """Run a local stencil-style op over a sharded volume with halos.
+
+    The generic overlap primitive the named wrappers build on (the
+    TPU-native analog of the reference's overlap-add decomposition,
+    signaltools.py:664-985, with the block boundary moved over ICI):
+    every axis is extended by its ``depth`` = (lo, hi) halo — sharded
+    axes exchange slabs with mesh neighbors via ``lax.ppermute``,
+    unsharded axes take the ndimage boundary pad locally — then
+    ``func`` runs on the extended local block and the interior is
+    sliced back out.
+
+    ``func`` must be shape-preserving and aligned: output element
+    ``i`` of the extended block corresponds to input element ``i``
+    (i.e. it consumes the pads in place, like a 'same' stencil).
+    """
+    x = jnp.asarray(x)
+    depths = _normalize_depth(depth, x.ndim)
+    names = _spec_axis_names(spec, x.ndim)
+
+    def local_fn(xs):
+        ext = xs
+        for axis, (lo, hi) in enumerate(depths):
+            if lo == 0 and hi == 0:
+                continue
+            if names[axis] is None:
+                ext = _edge_pad(ext, lo, hi, axis, mode, cval)
+            else:
+                ext = halo_exchange(
+                    ext, lo, hi, axis, names[axis], mode, cval
+                )
+        out = func(ext)
+        for axis, (lo, _) in enumerate(depths):
+            out = lax.slice_in_dim(
+                out, lo, lo + xs.shape[axis], axis=axis
+            )
+        return out
+
+    fn = shard_map(
+        local_fn, mesh=mesh, in_specs=(spec,), out_specs=spec,
+        check_vma=False,
+    )
+    return fn(x)
+
+
+def _tap_accumulate(ext, taps, nloc_shape, acc_dtype):
+    """Shifted-tap accumulation on a halo-extended block (pads
+    consumed; the local compute of the dense sharded stencils)."""
+    out = None
+    for off, w in taps:
+        sl = tuple(
+            slice(o, o + n) for o, n in zip(off, nloc_shape)
+        )
+        term = jnp.asarray(w, acc_dtype) * ext[sl].astype(acc_dtype)
+        out = term if out is None else out + term
+    return out
+
+
+def sharded_correlate(x, weights, mesh, spec, mode="reflect", cval=0.0,
+                      origin=0, acc_dtype=None):
+    """Dense nd correlation of a mesh-sharded volume.
+
+    Halo widths come from the weight shape and origins; zero taps are
+    skipped statically (the sharded counterpart of
+    scipy.ndimage.correlate / the reference's dense stencil,
+    _filters_core.py:190-348)."""
+    weights = np.asarray(weights)
+    x = jnp.asarray(x)
+    if weights.ndim != x.ndim:
+        raise RuntimeError("filter weights array has incorrect shape")
+    if acc_dtype is None:
+        acc_dtype = dtypes.promote_weights_dtype(
+            x.dtype, weights.dtype, "float"
+        )
+    origins = util.fix_sequence_arg(origin, x.ndim, "origin", int)
+    depths = []
+    for ax in range(x.ndim):
+        size = weights.shape[ax]
+        lo = size // 2 + origins[ax]
+        hi = size - 1 - lo
+        if lo < 0 or hi < 0:
+            raise ValueError("invalid origin")
+        depths.append((lo, hi))
+    taps = [
+        (tuple(int(v) for v in idx), float(weights[tuple(idx)]))
+        for idx in np.argwhere(weights != 0)
+    ]
+
+    def local_fn(ext):
+        nloc_shape = tuple(
+            e - lo - hi for e, (lo, hi) in zip(ext.shape, depths)
+        )
+        out = _tap_accumulate(ext, taps, nloc_shape, acc_dtype)
+        pads = [(lo, e - n - lo) for e, n, (lo, _) in
+                zip(ext.shape, nloc_shape, depths)]
+        return jnp.pad(out, pads)  # re-align to the extended block
+
+    return sharded_map_overlap(
+        local_fn, x, depths, mesh, spec, mode, cval
+    )
+
+
+def sharded_convolve(x, weights, mesh, spec, mode="reflect", cval=0.0,
+                     origin=0, acc_dtype=None):
+    """Dense nd convolution of a mesh-sharded volume (mirrored
+    correlation, scipy's origin flip for even sizes)."""
+    weights = np.asarray(weights)
+    origins = util.fix_sequence_arg(origin, jnp.ndim(x), "origin", int)
+    flipped = weights[(slice(None, None, -1),) * weights.ndim]
+    new_origins = [
+        -o - 1 + (ws % 2) for o, ws in zip(origins, weights.shape)
+    ]
+    return sharded_correlate(
+        x, flipped, mesh, spec, mode, cval, new_origins, acc_dtype
+    )
+
+
+def _binary_taps(structure, ndim):
+    structure = (
+        np.asarray(structure) if structure is not None
+        else None
+    )
+    if structure is None:
+        structure = np.zeros((3,) * ndim, bool)
+        center = (1,) * ndim
+        structure[center] = True
+        for ax in range(ndim):
+            for d in (0, 2):
+                idx = list(center)
+                idx[ax] = d
+                structure[tuple(idx)] = True
+    if structure.ndim != ndim:
+        raise RuntimeError("structure rank must match input rank")
+    return structure.astype(bool)
+
+
+def _sharded_binary(x, structure, mesh, spec, border_value, is_erosion):
+    x = jnp.asarray(x)
+    structure = _binary_taps(structure, x.ndim)
+    if not is_erosion:
+        structure = structure[
+            (slice(None, None, -1),) * structure.ndim
+        ]
+    depths = [
+        (s // 2, s - 1 - s // 2) for s in structure.shape
+    ]
+    offs = [tuple(int(v) for v in idx)
+            for idx in np.argwhere(structure)]
+    fill = bool(border_value) if is_erosion else bool(border_value)
+
+    def local_fn(ext):
+        b = ext != 0
+        nloc_shape = tuple(
+            e - lo - hi for e, (lo, hi) in zip(ext.shape, depths)
+        )
+        acc = None
+        op = jnp.logical_and if is_erosion else jnp.logical_or
+        for off in offs:
+            sl = tuple(
+                slice(o, o + n) for o, n in zip(off, nloc_shape)
+            )
+            acc = b[sl] if acc is None else op(acc, b[sl])
+        pads = [(lo, e - n - lo) for e, n, (lo, _) in
+                zip(ext.shape, nloc_shape, depths)]
+        return jnp.pad(acc, pads)
+
+    return sharded_map_overlap(
+        local_fn, x, depths, mesh, spec, "grid-constant", fill
+    )
+
+
+def sharded_binary_erosion(x, structure=None, mesh=None, spec=None,
+                           border_value=0):
+    """binary_erosion over a mesh-sharded volume (reference
+    morphology.py:204-333 semantics for one iteration; the border is a
+    constant ``border_value`` plane exchanged like any other halo)."""
+    return _sharded_binary(x, structure, mesh, spec, border_value, True)
+
+
+def sharded_binary_dilation(x, structure=None, mesh=None, spec=None,
+                            border_value=0):
+    """binary_dilation over a mesh-sharded volume (mirrored structure,
+    reference morphology.py:396)."""
+    return _sharded_binary(x, structure, mesh, spec, border_value,
+                           False)

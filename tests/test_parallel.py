@@ -164,3 +164,86 @@ def test_sharded_label_validates_spec():
         parallel.sharded_label(
             jnp.zeros((16, 16)), mesh, P(None, "x")
         )
+
+
+@pytest.mark.parametrize("mode", ["reflect", "wrap", "constant"])
+def test_sharded_dense_correlate(mode):
+    mesh = _mesh((4, 2), ("x", "y"))
+    rs = np.random.RandomState(5)
+    x = rs.randn(48, 40).astype(np.float32)
+    w = rs.randn(5, 7).astype(np.float32)
+    w[np.abs(w) < 0.3] = 0.0
+    spec = P("x", "y")
+    xg = jax.device_put(jnp.asarray(x), NamedSharding(mesh, spec))
+    got = parallel.sharded_correlate(xg, w, mesh, spec, mode=mode,
+                                     cval=1.5)
+    exp = ndi.correlate(x.astype(np.float64), w.astype(np.float64),
+                        mode=mode, cval=1.5).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(got), exp, rtol=2e-5, atol=2e-5)
+
+
+def test_sharded_convolve_origin():
+    mesh = _mesh((8,), ("x",))
+    rs = np.random.RandomState(6)
+    x = rs.randn(64, 21).astype(np.float32)
+    w = rs.randn(4, 3).astype(np.float32)
+    spec = P("x", None)
+    xg = jax.device_put(jnp.asarray(x), NamedSharding(mesh, spec))
+    got = parallel.sharded_convolve(xg, w, mesh, spec, mode="nearest",
+                                    origin=(1, 0))
+    exp = ndi.convolve(x.astype(np.float64), w.astype(np.float64),
+                       mode="nearest", origin=(1, 0)).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(got), exp, rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("border_value", [0, 1])
+def test_sharded_binary_erosion_dilation(border_value):
+    mesh = _mesh((8,), ("x",))
+    rs = np.random.RandomState(7)
+    x = rs.rand(64, 33) > 0.4
+    spec = P("x", None)
+    xg = jax.device_put(jnp.asarray(x), NamedSharding(mesh, spec))
+    st = ndi.generate_binary_structure(2, 2)
+    got_e = parallel.sharded_binary_erosion(
+        xg, st, mesh=mesh, spec=spec, border_value=border_value
+    )
+    exp_e = ndi.binary_erosion(x, st, border_value=border_value)
+    np.testing.assert_array_equal(np.asarray(got_e), exp_e)
+    got_d = parallel.sharded_binary_dilation(
+        xg, st, mesh=mesh, spec=spec, border_value=border_value
+    )
+    exp_d = ndi.binary_dilation(x, st, border_value=border_value)
+    np.testing.assert_array_equal(np.asarray(got_d), exp_d)
+
+
+def test_sharded_binary_default_structure():
+    mesh = _mesh((8,), ("x",))
+    x = np.random.RandomState(8).rand(32, 19) > 0.5
+    spec = P("x", None)
+    xg = jax.device_put(jnp.asarray(x), NamedSharding(mesh, spec))
+    got = parallel.sharded_binary_erosion(xg, mesh=mesh, spec=spec)
+    exp = ndi.binary_erosion(x)
+    np.testing.assert_array_equal(np.asarray(got), exp)
+
+
+def test_sharded_map_overlap_custom_fn():
+    # user-provided local op through the generic primitive: a 3x3 mean
+    mesh = _mesh((8,), ("x",))
+    x = np.random.RandomState(9).randn(64, 24).astype(np.float32)
+    spec = P("x", None)
+    xg = jax.device_put(jnp.asarray(x), NamedSharding(mesh, spec))
+
+    def local_mean3(ext):
+        acc = sum(
+            ext[i : ext.shape[0] - 2 + i, j : ext.shape[1] - 2 + j]
+            for i in range(3)
+            for j in range(3)
+        ) / 9.0
+        return jnp.pad(acc, ((1, 1), (1, 1)))
+
+    got = parallel.sharded_map_overlap(
+        local_mean3, xg, 1, mesh, spec, mode="reflect"
+    )
+    exp = ndi.uniform_filter(x.astype(np.float64), 3,
+                             mode="reflect").astype(np.float32)
+    np.testing.assert_allclose(np.asarray(got), exp, rtol=2e-5, atol=2e-5)
