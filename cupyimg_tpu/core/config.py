@@ -24,6 +24,16 @@ class _Config:
         )
         # Use Pallas kernels where available ('auto' => only on TPU backend).
         self.use_pallas = os.environ.get("CUPYIMG_TPU_USE_PALLAS", "auto")
+        # FFT-domain convolution via MXU matmul FFTs (ops/mxfft) instead of
+        # XLA's FFT ('auto' => on TPU for f32 when every size factors).
+        self.use_mxfft = os.environ.get("CUPYIMG_TPU_USE_MXFFT", "auto")
+
+    def mxfft_enabled(self) -> bool:
+        if self.use_mxfft == "auto":
+            # off until the matmul FFT measures faster than XLA's FFT
+            # on the production chip; flip to backend-gated then
+            return False
+        return self.use_mxfft in ("1", "true", "on", "yes")
 
     def pallas_enabled(self) -> bool:
         if self.use_pallas == "auto":

@@ -141,6 +141,39 @@ def _init_freq_conv_axes(in1, in2, mode, axes, sorted_axes=False):
     return in1, in2, axes
 
 
+def _mxfft_applies(in1, in2, fshape):
+    """Route the real FFT product through the MXU matmul FFT?"""
+    from cupyimg_tpu.core.config import config
+    from cupyimg_tpu.ops import mxfft
+
+    if not config.mxfft_enabled():
+        return False
+    if np.dtype(in1.dtype).itemsize > 4 or np.dtype(in2.dtype).itemsize > 4:
+        return False  # f64 parity path stays on the reference FFT
+    return all(mxfft.can_handle(int(n)) for n in fshape)
+
+
+def _mxfft_real_conv(in1, in2, axes, fshape):
+    """Real convolution via matmul FFTs on (real, imag) pairs
+    (ops/mxfft): Hermitian-truncated forward transforms (the rfftn
+    analog — the first transformed axis keeps only n//2+1 bins, so
+    every later stage runs at half width), complex product, inverse."""
+    from cupyimg_tpu.ops import mxfft
+
+    def pad_to(v):
+        pads = [(0, 0)] * v.ndim
+        for a, n in zip(axes, fshape):
+            pads[a] = (0, n - v.shape[a])
+        v = v.astype(np.float32)
+        return jnp.pad(v, pads) if any(hi for _, hi in pads) else v
+
+    r1, i1 = mxfft.rfftn_pair(pad_to(in1), tuple(axes))
+    r2, i2 = mxfft.rfftn_pair(pad_to(in2), tuple(axes))
+    pr = r1 * r2 - i1 * i2
+    pi = r1 * i2 + i1 * r2
+    return mxfft.irfftn_pair(pr, pi, tuple(axes), int(fshape[0]))
+
+
 def _freq_domain_conv(in1, in2, axes, shape, calc_fast_len=False):
     """Multiply FFTs along ``axes`` (reference signaltools.py:437-504)."""
     if not len(axes):
@@ -152,7 +185,9 @@ def _freq_domain_conv(in1, in2, axes, shape, calc_fast_len=False):
         fshape = [next_fast_len(shape[a]) for a in axes]
     else:
         fshape = [shape[a] for a in axes]
-    if not complex_result:
+    if not complex_result and _mxfft_applies(in1, in2, fshape):
+        ret = _mxfft_real_conv(in1, in2, axes, fshape)
+    elif not complex_result:
         sp1 = jnp.fft.rfftn(in1, fshape, axes=axes)
         sp2 = jnp.fft.rfftn(in2, fshape, axes=axes)
         ret = jnp.fft.irfftn(sp1 * sp2, fshape, axes=axes)

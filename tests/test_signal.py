@@ -1,6 +1,7 @@
 """scipy.signal subset vs scipy."""
 
 import numpy as np
+import jax.numpy as jnp
 import pytest
 import scipy.signal as sps
 
@@ -297,3 +298,59 @@ class TestResample:
         exp = sps.resample_poly(x, 2, 3, axis=1)
         np.testing.assert_allclose(np.asarray(got), exp, rtol=1e-8,
                                    atol=1e-9)
+
+
+class TestMxFFT:
+    """MXU matmul-FFT path (ops/mxfft) forced on the CPU tier."""
+
+
+    def _force(self, monkeypatch):
+        from cupyimg_tpu.core.config import config
+        monkeypatch.setattr(config, "use_mxfft", "1")
+
+    @pytest.mark.parametrize("mode", ["full", "same", "valid"])
+    def test_fftconvolve_2d_mxfft(self, mode, monkeypatch):
+        self._force(monkeypatch)
+        rs = np.random.RandomState(11)
+        x = rs.randn(120, 130).astype(np.float32)
+        k = rs.randn(17, 9).astype(np.float32)
+        got = tsig.fftconvolve(jnp.asarray(x), jnp.asarray(k),
+                                 mode=mode)
+        exp = sps.fftconvolve(x.astype(np.float64),
+                               k.astype(np.float64), mode=mode)
+        assert np.abs(np.asarray(got, np.float64) - exp).max() < 1e-3
+
+    def test_fftconvolve_1d_and_axes_mxfft(self, monkeypatch):
+        self._force(monkeypatch)
+        rs = np.random.RandomState(12)
+        x = rs.randn(5, 1000).astype(np.float32)
+        k = rs.randn(5, 101).astype(np.float32)
+        got = tsig.fftconvolve(jnp.asarray(x), jnp.asarray(k),
+                                 mode="same", axes=[1])
+        exp = sps.fftconvolve(x.astype(np.float64),
+                               k.astype(np.float64), mode="same",
+                               axes=[1])
+        assert np.abs(np.asarray(got, np.float64) - exp).max() < 1e-3
+
+    def test_mxfft_falls_back_unfactorable(self, monkeypatch):
+        self._force(monkeypatch)
+        from cupyimg_tpu.ops import mxfft
+        # prime full-length => can_handle False on CPU (no 64-rounding)
+        assert not mxfft.can_handle(97)
+        rs = np.random.RandomState(13)
+        x = rs.randn(89).astype(np.float32)
+        k = rs.randn(9).astype(np.float32)   # full len 97, prime
+        got = tsig.fftconvolve(jnp.asarray(x), jnp.asarray(k))
+        exp = sps.fftconvolve(x.astype(np.float64),
+                               k.astype(np.float64))
+        assert np.abs(np.asarray(got, np.float64) - exp).max() < 1e-3
+
+    def test_mxfft_f64_stays_on_reference_path(self, monkeypatch):
+        self._force(monkeypatch)
+        rs = np.random.RandomState(14)
+        x = rs.randn(64, 64)
+        k = rs.randn(7, 7)
+        got = tsig.fftconvolve(jnp.asarray(x), jnp.asarray(k),
+                                 mode="same")
+        exp = sps.fftconvolve(x, k, mode="same")
+        assert np.abs(np.asarray(got) - exp).max() < 1e-10
