@@ -28,6 +28,16 @@ class _Config:
         # XLA's FFT ('auto' => on TPU for f32 when every size factors).
         self.use_mxfft = os.environ.get("CUPYIMG_TPU_USE_MXFFT", "auto")
 
+    def pallas_fft_enabled(self) -> bool:
+        """Fused single-pass Pallas FFT pipeline (ops/pallas_fft) for
+        2-D real frequency-domain products.  Measured 2.3x faster than
+        XLA's TPU FFT on the 4224^2 convolution roundtrip (3.7 ms vs
+        8.7 ms on v5e); 'auto' follows the Pallas backend gate."""
+        flag = os.environ.get("CUPYIMG_TPU_USE_PALLAS_FFT", "auto")
+        if flag == "auto":
+            return self.pallas_enabled()
+        return flag in ("1", "true", "on", "yes")
+
     def mxfft_enabled(self) -> bool:
         if self.use_mxfft == "auto":
             # off until the matmul FFT measures faster than XLA's FFT

@@ -60,6 +60,10 @@ def next_fast_len(target: int) -> int:
     import jax as _jax
 
     if _jax.default_backend() == "tpu" and target > 64:
+        if target > 256:
+            # multiples of 128 keep the fused Pallas FFT's fast factor
+            # at the full MXU lane width (ops/pallas_fft)
+            return -(-target // 128) * 128
         return -(-target // 64) * 64
     best = 1 << (target - 1).bit_length()
     p5 = 1
@@ -141,6 +145,55 @@ def _init_freq_conv_axes(in1, in2, mode, axes, sorted_axes=False):
     return in1, in2, axes
 
 
+# Below this many transform points XLA's FFT wins on compile+dispatch;
+# module-level so tests can lower it to exercise the Pallas path small.
+_PALLAS_FFT_MIN_POINTS = 1 << 20
+
+
+def _pallas_fft2_applies(in1, in2, axes, fshape):
+    """Route a real 2-D FFT product through the fused-transpose Pallas
+    pipeline (ops/pallas_fft.fft2)?  Requires a full 2-D transform of
+    2-D operands at two-stage MXU-friendly sizes."""
+    from cupyimg_tpu.core.config import config
+    from cupyimg_tpu.ops import pallas_fft
+
+    if not config.pallas_fft_enabled():
+        return False
+    if in1.ndim != 2 or sorted(int(a) for a in axes) != [0, 1]:
+        return False
+    if np.dtype(in1.dtype).itemsize > 4 or np.dtype(in2.dtype).itemsize > 4:
+        return False  # f64 parity path stays on the reference FFT
+    if int(fshape[0]) * int(fshape[1]) < _PALLAS_FFT_MIN_POINTS:
+        return False  # XLA's FFT is fine below ~1M points
+    return pallas_fft.fft2_applies(int(fshape[0]), int(fshape[1]))
+
+
+def _pallas_fft2_real_conv(in1, in2, axes, fshape):
+    """Real 2-D convolution via the fused Pallas FFT: two
+    fused-transpose forward passes per operand, pointwise complex
+    product in (fixed) permuted bin order, real-output inverse."""
+    from cupyimg_tpu.ops import pallas_fft
+    import jax as _jax
+
+    interpret = _jax.default_backend() != "tpu"
+
+    def pad_to(v):
+        pads = [(0, 0)] * v.ndim
+        for a, n in zip(sorted(int(x) for x in axes), fshape):
+            pads[a] = (0, int(n) - v.shape[a])
+        v = v.astype(np.float32)
+        return jnp.pad(v, pads) if any(hi for _, hi in pads) else v
+
+    r1, i1 = pallas_fft.fft2(pad_to(in1), None, interpret=interpret)
+    r2, i2 = pallas_fft.fft2(pad_to(in2), None, interpret=interpret)
+    pr = r1 * r2 - i1 * i2
+    pi = r1 * i2 + i1 * r2
+    out, _ = pallas_fft.fft2(
+        pr, pi, inverse=True, real_out=True, interpret=interpret
+    )
+    return out
+
+
 def _mxfft_applies(in1, in2, fshape):
     """Route the real FFT product through the MXU matmul FFT?"""
     from cupyimg_tpu.core.config import config
@@ -185,7 +238,9 @@ def _freq_domain_conv(in1, in2, axes, shape, calc_fast_len=False):
         fshape = [next_fast_len(shape[a]) for a in axes]
     else:
         fshape = [shape[a] for a in axes]
-    if not complex_result and _mxfft_applies(in1, in2, fshape):
+    if not complex_result and _pallas_fft2_applies(in1, in2, axes, fshape):
+        ret = _pallas_fft2_real_conv(in1, in2, axes, fshape)
+    elif not complex_result and _mxfft_applies(in1, in2, fshape):
         ret = _mxfft_real_conv(in1, in2, axes, fshape)
     elif not complex_result:
         sp1 = jnp.fft.rfftn(in1, fshape, axes=axes)

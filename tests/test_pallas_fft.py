@@ -1,0 +1,139 @@
+"""Permuted-order matmul FFT (ops/permfft) and its fused Pallas form
+(ops/pallas_fft), plus the fftconvolve wiring.
+
+The reference delegates FFT-domain work to cuFFT plans
+(cupyimg/scipy/signal/signaltools.py:437-504); these modules are the
+TPU-native first-party equivalent.  Tests run the Pallas kernels in
+interpret mode on CPU; the TPU perf tier is bench_suite.py.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from cupyimg_tpu.ops import pallas_fft, permfft
+
+
+def _perm_ref(x, axes):
+    """numpy fftn with each transformed axis permuted to permfft order."""
+    ref = np.fft.fftn(x, axes=axes)
+    for ax in axes:
+        p = permfft.perm_indices(x.shape[ax])
+        ref = np.take(ref, p, axis=ax)
+    return ref
+
+
+@pytest.mark.parametrize("n", [8, 96, 255, 256, 384, 1024])
+def test_permfft_axis_roundtrip(n):
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((3, n)).astype(np.float32)
+    r, i = permfft.fft_perm(jnp.asarray(x), None, axis=-1)
+    ref = _perm_ref(x, (1,))
+    got = np.asarray(r) + 1j * np.asarray(i)
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(got, ref, atol=2e-5 * scale)
+    rr, ri = permfft.ifft_perm(r, i, axis=-1)
+    np.testing.assert_allclose(np.asarray(rr), x, atol=3e-5 * scale)
+    np.testing.assert_allclose(np.asarray(ri), 0, atol=3e-5 * scale)
+
+
+@pytest.mark.parametrize("axes", [(0, 1), (1,), (0,)])
+def test_permfft_nd_real(axes):
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((96, 128)).astype(np.float32)
+    r, i = permfft.rfftn_perm(jnp.asarray(x), axes)
+    ref = _perm_ref(x, axes)
+    got = np.asarray(r) + 1j * np.asarray(i)
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(got, ref, atol=2e-5 * scale)
+    back = permfft.irfftn_perm(r, i, axes)
+    np.testing.assert_allclose(np.asarray(back), x, atol=5e-5 * scale)
+
+
+def test_permfft_pointwise_product_is_convolution():
+    """The permuted order must be product-compatible: F(a)*F(b) then
+    inverse equals circular convolution."""
+    rng = np.random.default_rng(2)
+    n = 384
+    a = rng.standard_normal(n).astype(np.float32)
+    b = rng.standard_normal(n).astype(np.float32)
+    ra, ia = permfft.fft_perm(jnp.asarray(a), None)
+    rb, ib = permfft.fft_perm(jnp.asarray(b), None)
+    pr = ra * rb - ia * ib
+    pi = ra * ib + ia * rb
+    out, _ = permfft.ifft_perm(pr, pi, real_out=True)
+    ref = np.fft.ifft(np.fft.fft(a) * np.fft.fft(b)).real
+    np.testing.assert_allclose(
+        np.asarray(out), ref, atol=2e-4 * np.abs(ref).max()
+    )
+
+
+@pytest.mark.parametrize("variant", ["batched", "transpose"])
+@pytest.mark.parametrize(
+    "shape,ax", [((3, 384), -1), ((384, 128), 0), ((2, 384, 64), 1)]
+)
+def test_pallas_fft_axis_interpret(variant, shape, ax, monkeypatch):
+    monkeypatch.setattr(pallas_fft, "SLOW_VARIANT", variant)
+    rng = np.random.default_rng(3)
+    n = shape[ax]
+    x = rng.standard_normal(shape).astype(np.float32)
+    r, i = pallas_fft.fft_axis(jnp.asarray(x), None, ax, interpret=True)
+    ref = _perm_ref(x, (ax % x.ndim,))
+    got = np.asarray(r) + 1j * np.asarray(i)
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(got, ref, atol=5e-5 * scale)
+    rr, _ = pallas_fft.fft_axis(
+        r, i, ax, inverse=True, real_out=True, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(rr), x, atol=1e-4 * scale)
+
+
+@pytest.mark.parametrize("shape", [(384, 512), (2, 384, 384)])
+def test_pallas_fft2_interpret(shape):
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal(shape).astype(np.float32)
+    r, i = pallas_fft.fft2(jnp.asarray(x), None, interpret=True)
+    ref = _perm_ref(x, (x.ndim - 2, x.ndim - 1))
+    got = np.asarray(r) + 1j * np.asarray(i)
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(got, ref, atol=5e-5 * scale)
+    rr, _ = pallas_fft.fft2(
+        r, i, inverse=True, real_out=True, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(rr), x, atol=1e-4 * scale)
+
+
+def test_fftconvolve_pallas_path(monkeypatch):
+    """fftconvolve dispatches to the fused Pallas pipeline and matches
+    scipy when forced on (interpret mode on CPU)."""
+    import scipy.signal as ss
+
+    from cupyimg_tpu.scipy.signal import signaltools
+
+    monkeypatch.setenv("CUPYIMG_TPU_USE_PALLAS_FFT", "1")
+    monkeypatch.setattr(signaltools, "_PALLAS_FFT_MIN_POINTS", 0)
+    rng = np.random.default_rng(5)
+    a = rng.standard_normal((270, 260)).astype(np.float32)
+    b = rng.standard_normal((31, 17)).astype(np.float32)
+    # fshape -> (384, 384) via 5-smooth on CPU... force exercising the
+    # dispatcher: both sizes must satisfy fft2_applies or fall through.
+    fshape = [
+        signaltools.next_fast_len(270 + 31 - 1),
+        signaltools.next_fast_len(260 + 17 - 1),
+    ]
+    applies = pallas_fft.fft2_applies(fshape[0], fshape[1])
+    got = np.asarray(signaltools.fftconvolve(a, b, mode="same"))
+    ref = ss.fftconvolve(a, b, mode="same")
+    np.testing.assert_allclose(got, ref, atol=5e-4 * np.abs(ref).max())
+    if applies:
+        # and the dedicated helper path agrees as well
+        out = np.asarray(
+            signaltools._pallas_fft2_real_conv(
+                jnp.asarray(a), jnp.asarray(b), (0, 1), fshape
+            )
+        )[: 270 + 31 - 1, : 260 + 17 - 1]
+        full = ss.fftconvolve(a, b, mode="full")
+        np.testing.assert_allclose(
+            out, full, atol=5e-4 * np.abs(full).max()
+        )
