@@ -159,11 +159,15 @@ def _pallas_fft2_applies(in1, in2, axes, fshape):
 
     if not config.pallas_fft_enabled():
         return False
-    if in1.ndim != 2 or sorted(int(a) for a in axes) != [0, 1]:
-        return False
+    nd = in1.ndim
+    if nd < 2 or sorted(int(a) for a in axes) != [nd - 2, nd - 1]:
+        return False  # needs a transform over exactly the last two axes
     if np.dtype(in1.dtype).itemsize > 4 or np.dtype(in2.dtype).itemsize > 4:
         return False  # f64 parity path stays on the reference FFT
-    if int(fshape[0]) * int(fshape[1]) < _PALLAS_FFT_MIN_POINTS:
+    total = int(np.prod(in1.shape[: nd - 2], dtype=np.int64)) * int(
+        fshape[0]
+    ) * int(fshape[1])
+    if total < _PALLAS_FFT_MIN_POINTS:
         return False  # XLA's FFT is fine below ~1M points
     return pallas_fft.fft2_applies(int(fshape[0]), int(fshape[1]))
 
@@ -190,6 +194,55 @@ def _pallas_fft2_real_conv(in1, in2, axes, fshape):
     pi = r1 * i2 + i1 * r2
     out, _ = pallas_fft.fft2(
         pr, pi, inverse=True, real_out=True, interpret=interpret
+    )
+    return out
+
+
+def _pallas_fft1_applies(in1, in2, axes, fshape):
+    """Route a real last-axis FFT product through the Pallas axis-last
+    kernel?  Covers 1-D fftconvolve and the batched blocks of 1-D
+    overlap-add; leading dims are batch/broadcast."""
+    from cupyimg_tpu.core.config import config
+    from cupyimg_tpu.ops import pallas_fft, permfft
+
+    if not config.pallas_fft_enabled():
+        return False
+    nd = in1.ndim
+    if [int(a) for a in axes] != [nd - 1]:
+        return False
+    if np.dtype(in1.dtype).itemsize > 4 or np.dtype(in2.dtype).itemsize > 4:
+        return False
+    n = int(fshape[0])
+    total = max(
+        int(np.prod(in1.shape[: nd - 1], dtype=np.int64)),
+        int(np.prod(in2.shape[: nd - 1], dtype=np.int64)),
+    ) * n
+    if total < _PALLAS_FFT_MIN_POINTS:
+        return False
+    return n > permfft._MAX_A and pallas_fft.can_handle(n)
+
+
+def _pallas_fft1_real_conv(in1, in2, axes, fshape):
+    """Real last-axis convolution via the Pallas axis-last FFT kernel:
+    pointwise complex product in (fixed) permuted bin order."""
+    from cupyimg_tpu.ops import pallas_fft
+    import jax as _jax
+
+    interpret = _jax.default_backend() != "tpu"
+    n = int(fshape[0])
+
+    def pad_to(v):
+        pads = [(0, 0)] * v.ndim
+        pads[-1] = (0, n - v.shape[-1])
+        v = v.astype(np.float32)
+        return jnp.pad(v, pads) if pads[-1][1] else v
+
+    r1, i1 = pallas_fft.fft_axis(pad_to(in1), None, -1, interpret=interpret)
+    r2, i2 = pallas_fft.fft_axis(pad_to(in2), None, -1, interpret=interpret)
+    pr = r1 * r2 - i1 * i2
+    pi = r1 * i2 + i1 * r2
+    out, _ = pallas_fft.fft_axis(
+        pr, pi, -1, inverse=True, real_out=True, interpret=interpret
     )
     return out
 
@@ -240,6 +293,8 @@ def _freq_domain_conv(in1, in2, axes, shape, calc_fast_len=False):
         fshape = [shape[a] for a in axes]
     if not complex_result and _pallas_fft2_applies(in1, in2, axes, fshape):
         ret = _pallas_fft2_real_conv(in1, in2, axes, fshape)
+    elif not complex_result and _pallas_fft1_applies(in1, in2, axes, fshape):
+        ret = _pallas_fft1_real_conv(in1, in2, axes, fshape)
     elif not complex_result and _mxfft_applies(in1, in2, fshape):
         ret = _mxfft_real_conv(in1, in2, axes, fshape)
     elif not complex_result:

@@ -104,6 +104,35 @@ def test_pallas_fft2_interpret(shape):
     np.testing.assert_allclose(np.asarray(rr), x, atol=1e-4 * scale)
 
 
+def test_oaconvolve_pallas_fft1_path(monkeypatch):
+    """The 1-D overlap-add blocks route through the axis-last Pallas
+    FFT and match scipy when forced on (interpret mode on CPU)."""
+    import scipy.signal as ss
+
+    from cupyimg_tpu.scipy.signal import signaltools
+
+    monkeypatch.setenv("CUPYIMG_TPU_USE_PALLAS_FFT", "1")
+    monkeypatch.setattr(signaltools, "_PALLAS_FFT_MIN_POINTS", 0)
+    rng = np.random.default_rng(6)
+    x = rng.standard_normal(20000).astype(np.float32)
+    h = rng.standard_normal(257).astype(np.float32)
+    blocks = jnp.asarray(x[:19968].reshape(-1, 384))  # (52, 384)
+    hb = jnp.asarray(h)[None]
+    assert signaltools._pallas_fft1_applies(blocks, hb, [1], [640])
+    got = np.asarray(
+        signaltools._pallas_fft1_real_conv(blocks, hb, [1], [640])
+    )[:, : 384 + 257 - 1]
+    ref = np.stack(
+        [ss.fftconvolve(row, h, mode="full") for row in np.asarray(blocks)]
+    )
+    np.testing.assert_allclose(got, ref, atol=5e-4 * np.abs(ref).max())
+    # end-to-end through oaconvolve as well
+    out = np.asarray(signaltools.oaconvolve(
+        jnp.asarray(x), jnp.asarray(h), mode="same"))
+    ref2 = ss.oaconvolve(x, h, mode="same")
+    np.testing.assert_allclose(out, ref2, atol=5e-4 * np.abs(ref2).max())
+
+
 def test_fftconvolve_pallas_path(monkeypatch):
     """fftconvolve dispatches to the fused Pallas pipeline and matches
     scipy when forced on (interpret mode on CPU)."""
