@@ -11,6 +11,7 @@ exactly as the reference does (its signaltools.py:16-17, 2020).
 
 from __future__ import annotations
 
+import functools
 import math
 import timeit
 
@@ -172,30 +173,64 @@ def _pallas_fft2_applies(in1, in2, axes, fshape):
     return pallas_fft.fft2_applies(int(fshape[0]), int(fshape[1]))
 
 
-def _pallas_fft2_real_conv(in1, in2, axes, fshape):
-    """Real 2-D convolution via the fused Pallas FFT: two
-    fused-transpose forward passes per operand, pointwise complex
-    product in (fixed) permuted bin order, real-output inverse."""
+@functools.lru_cache(maxsize=None)
+def _jitted_pallas_conv(kind, fshape, interpret):
+    """One cached jitted callable per (1d/2d, padded-size) signature.
+
+    Dispatching the whole pad->fft->product->ifft pipeline as a single
+    executable matters on remote-attached TPUs: eagerly it is ~20 op
+    dispatches plus per-call constant uploads (the FFT weight
+    matrices), each paying the host<->device round trip; jitted the
+    constants live in the executable and a warm call is one dispatch.
+    """
     from cupyimg_tpu.ops import pallas_fft
-    import jax as _jax
 
-    interpret = _jax.default_backend() != "tpu"
-
-    def pad_to(v):
+    def pad_to(v, axes):
         pads = [(0, 0)] * v.ndim
-        for a, n in zip(sorted(int(x) for x in axes), fshape):
+        for a, n in zip(axes, fshape):
             pads[a] = (0, int(n) - v.shape[a])
         v = v.astype(np.float32)
         return jnp.pad(v, pads) if any(hi for _, hi in pads) else v
 
-    r1, i1 = pallas_fft.fft2(pad_to(in1), None, interpret=interpret)
-    r2, i2 = pallas_fft.fft2(pad_to(in2), None, interpret=interpret)
-    pr = r1 * r2 - i1 * i2
-    pi = r1 * i2 + i1 * r2
-    out, _ = pallas_fft.fft2(
-        pr, pi, inverse=True, real_out=True, interpret=interpret
+    if kind == "fft2":
+        def run(a, b):
+            axes = (a.ndim - 2, a.ndim - 1)
+            r1, i1 = pallas_fft.fft2(pad_to(a, axes), None,
+                                     interpret=interpret)
+            r2, i2 = pallas_fft.fft2(pad_to(b, axes), None,
+                                     interpret=interpret)
+            pr = r1 * r2 - i1 * i2
+            pi = r1 * i2 + i1 * r2
+            out, _ = pallas_fft.fft2(
+                pr, pi, inverse=True, real_out=True, interpret=interpret
+            )
+            return out
+    else:
+        def run(a, b):
+            r1, i1 = pallas_fft.fft_axis(pad_to(a, (a.ndim - 1,)), None,
+                                         -1, interpret=interpret)
+            r2, i2 = pallas_fft.fft_axis(pad_to(b, (b.ndim - 1,)), None,
+                                         -1, interpret=interpret)
+            pr = r1 * r2 - i1 * i2
+            pi = r1 * i2 + i1 * r2
+            out, _ = pallas_fft.fft_axis(
+                pr, pi, -1, inverse=True, real_out=True,
+                interpret=interpret,
+            )
+            return out
+
+    return jax.jit(run)
+
+
+def _pallas_fft2_real_conv(in1, in2, axes, fshape):
+    """Real 2-D convolution via the fused Pallas FFT: two
+    fused-transpose forward passes per operand, pointwise complex
+    product in (fixed) permuted bin order, real-output inverse."""
+    interpret = jax.default_backend() != "tpu"
+    fn = _jitted_pallas_conv(
+        "fft2", tuple(int(n) for n in fshape), interpret
     )
-    return out
+    return fn(in1, in2)
 
 
 def _pallas_fft1_applies(in1, in2, axes, fshape):
@@ -225,26 +260,9 @@ def _pallas_fft1_applies(in1, in2, axes, fshape):
 def _pallas_fft1_real_conv(in1, in2, axes, fshape):
     """Real last-axis convolution via the Pallas axis-last FFT kernel:
     pointwise complex product in (fixed) permuted bin order."""
-    from cupyimg_tpu.ops import pallas_fft
-    import jax as _jax
-
-    interpret = _jax.default_backend() != "tpu"
-    n = int(fshape[0])
-
-    def pad_to(v):
-        pads = [(0, 0)] * v.ndim
-        pads[-1] = (0, n - v.shape[-1])
-        v = v.astype(np.float32)
-        return jnp.pad(v, pads) if pads[-1][1] else v
-
-    r1, i1 = pallas_fft.fft_axis(pad_to(in1), None, -1, interpret=interpret)
-    r2, i2 = pallas_fft.fft_axis(pad_to(in2), None, -1, interpret=interpret)
-    pr = r1 * r2 - i1 * i2
-    pi = r1 * i2 + i1 * r2
-    out, _ = pallas_fft.fft_axis(
-        pr, pi, -1, inverse=True, real_out=True, interpret=interpret
-    )
-    return out
+    interpret = jax.default_backend() != "tpu"
+    fn = _jitted_pallas_conv("fft1", (int(fshape[0]),), interpret)
+    return fn(in1, in2)
 
 
 def _mxfft_applies(in1, in2, fshape):
