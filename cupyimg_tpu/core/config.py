@@ -27,6 +27,16 @@ class _Config:
         # FFT-domain convolution via MXU matmul FFTs (ops/mxfft) instead of
         # XLA's FFT ('auto' => on TPU for f32 when every size factors).
         self.use_mxfft = os.environ.get("CUPYIMG_TPU_USE_MXFFT", "auto")
+        # Interpolation coordinate precision: 'auto' | 'f32' | 'f64'.
+        # The reference computes interpolation coordinates in C double
+        # regardless of image dtype (its _interp_kernels.py:312-317 uses
+        # W=double); TPU f64 is emulated, so 'auto' means f64 only on the
+        # CPU x64 parity tier and f32 on TPU (knife-edge coordinates —
+        # points landing exactly on a domain edge or half-integer — may
+        # then round differently from SciPy; documented deviation).
+        self.coord_precision = os.environ.get(
+            "CUPYIMG_TPU_COORD_PRECISION", "auto"
+        )
 
     def pallas_fft_enabled(self) -> bool:
         """Fused single-pass Pallas FFT pipeline (ops/pallas_fft) for

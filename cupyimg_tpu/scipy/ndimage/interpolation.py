@@ -76,6 +76,30 @@ def _float_work_dtype(dtype, allow_float32):
     return np.promote_types(dtype, minf)
 
 
+def _coord_dtype(allow_float32):
+    """Coordinate precision policy (core/config.py ``coord_precision``).
+
+    The reference computes interpolation coordinates in C double
+    regardless of image dtype (its _interp_kernels.py:312-317), which
+    decides knife-edge cases (a coordinate landing exactly on a domain
+    edge or half-integer) the same way SciPy does.  TPU f64 is emulated
+    and slow, so 'auto' = f64 only where it is native and enabled (the
+    CPU x64 parity tier); f32 on TPU is a documented deviation.
+    """
+    if not allow_float32:
+        return np.float64
+    from cupyimg_tpu.core.config import config
+
+    cp = config.coord_precision
+    if cp == "f64":
+        return np.float64
+    if cp == "f32":
+        return np.float32
+    if jax.config.jax_enable_x64 and jax.default_backend() == "cpu":
+        return np.float64
+    return np.float32
+
+
 def _finalize(out, out_dtype):
     """Cast interpolation output; scipy rounds integer outputs half away
     from zero."""
@@ -279,7 +303,11 @@ def map_coordinates(
             jnp.asarray(cval), order, mode,
         )
         return _finalize(out, out_dtype)
-    if x.ndim == 2 and coordinates.ndim == 3:
+    if (
+        x.ndim == 2
+        and coordinates.ndim == 3
+        and _coord_dtype(allow_float32) == np.float32
+    ):
         from cupyimg_tpu.ops import warp_gather
 
         # Routing-based Pallas gather: sync-free, jit-safe, and ~10x the
@@ -369,7 +397,7 @@ def affine_transform(
     out_dtype = _resolve_out_dtype(output, x)
     filtered, npad = _prefiltered(x, order, mode, cval, prefilter,
                                   allow_float32)
-    coord_dtype = np.float32 if allow_float32 else np.float64
+    coord_dtype = _coord_dtype(allow_float32)
 
     # diagonal 2-D matrix: same dispatch as the reference's zoom_shift
     # kernel specialization (interpolation.py:526-541) — per-axis
@@ -400,11 +428,14 @@ def affine_transform(
         return _finalize(out, out_dtype)
 
     # general matrix: try the blocked one-hot MXU sampler first (XLA's
-    # per-point gather is pathologically slow on TPU; ops/onehot_interp)
+    # per-point gather is pathologically slow on TPU; ops/onehot_interp).
+    # The samplers route coordinates in f32; on the f64 parity tier
+    # (_coord_dtype) take the exact dense path instead so knife-edge
+    # coordinates resolve the same way SciPy's C-double math does.
     from cupyimg_tpu.ops import onehot_interp
 
     oh = None
-    if ndim == 2:
+    if ndim == 2 and coord_dtype == np.float32:
         from cupyimg_tpu.ops import gtg_interp
 
         # gather-transpose-gather kernel first (rotation-like affines;
@@ -419,7 +450,7 @@ def affine_transform(
                 filtered, matrix, offsets + npad, order, mode, cval,
                 output_shape,
             )
-    elif ndim >= 3:
+    elif ndim >= 3 and coord_dtype == np.float32:
         oh = _try_batched_plane_onehot(
             filtered, matrix, offsets, npad, order, mode, cval,
             output_shape, onehot_interp,
@@ -593,14 +624,16 @@ def _affine_plane_batched(flat, sub, sub_off, npad, order, mode, cval,
     then a vmapped general gather.  ``sub_off`` excludes the prepad."""
     from cupyimg_tpu.ops import gtg_interp, onehot_interp
 
-    coord_dtype = np.float32 if allow_float32 else np.float64
-    out2 = gtg_interp.affine_gtg_batched2d(
-        flat, sub, sub_off + npad, order, mode, cval, out_plane,
-    )
-    if out2 is None:
-        out2 = onehot_interp.affine_onehot_batched2d(
+    coord_dtype = _coord_dtype(allow_float32)
+    out2 = None
+    if coord_dtype == np.float32:  # samplers are f32-routed (see affine)
+        out2 = gtg_interp.affine_gtg_batched2d(
             flat, sub, sub_off + npad, order, mode, cval, out_plane,
         )
+        if out2 is None:
+            out2 = onehot_interp.affine_onehot_batched2d(
+                flat, sub, sub_off + npad, order, mode, cval, out_plane,
+            )
     if out2 is not None:
         if mode == "constant":
             ii = jnp.arange(out_plane[0], dtype=coord_dtype)[:, None]
@@ -687,7 +720,7 @@ def shift(
     out_dtype = _resolve_out_dtype(output, x)
     filtered, npad = _prefiltered(x, order, mode, cval, prefilter,
                                   allow_float32)
-    coord_dtype = np.float32 if allow_float32 else np.float64
+    coord_dtype = _coord_dtype(allow_float32)
     coords_1d = [
         jnp.arange(x.shape[j], dtype=coord_dtype) - shifts[j] + npad
         for j in range(x.ndim)
@@ -756,7 +789,7 @@ def zoom(
     out_dtype = _resolve_out_dtype(output, x)
     filtered, npad = _prefiltered(x, order, mode, cval, prefilter,
                                   allow_float32)
-    coord_dtype = np.float32 if allow_float32 else np.float64
+    coord_dtype = _coord_dtype(allow_float32)
     coords_1d = []
     for j in range(x.ndim):
         o = jnp.arange(output_shape[j], dtype=coord_dtype)

@@ -373,21 +373,29 @@ def _position_of(input, labels, index, is_min):
             return tuple(
                 int(v) for v in np.unravel_index(int(flat), x.shape)
             )
+    n = x.size
+    if index is None:
+        # scipy merges every nonzero label into one region when index is
+        # None (its _select path): position of the GLOBAL extremum over
+        # labels>0, not the first per-label extremum.
+        valid = labels.ravel() > 0
+        xf = x.ravel()
+        # dtype-safe sentinel: losers get the opposite global extremum so
+        # they can never win the reduction below.
+        if is_min:
+            gval = jnp.min(jnp.where(valid, xf, jnp.max(xf)))
+        else:
+            gval = jnp.max(jnp.where(valid, xf, jnp.min(xf)))
+        flat = jnp.min(jnp.where(valid & (xf == gval), jnp.arange(n), n))
+        return tuple(int(v) for v in np.unravel_index(int(flat), x.shape))
     num_seg = _num_segments(labels)
     per = _segment_minmax(x, labels, num_seg, is_min)
     target = per[labels.ravel().astype(np.int32)]
     hit = x.ravel() == target
-    n = x.size
     pos = jnp.where(hit, jnp.arange(n), n)
     first = jax.ops.segment_min(
         pos, labels.ravel().astype(np.int32), num_segments=num_seg
     )
-    if index is None:
-        masked = jnp.where(
-            (labels.ravel() > 0) & hit, jnp.arange(n), n
-        )
-        flat = jnp.min(masked)
-        return tuple(int(v) for v in np.unravel_index(int(flat), x.shape))
     flats = first[jnp.asarray(np.clip(index, 0, num_seg - 1))]
     out = [
         tuple(int(v) for v in np.unravel_index(int(f), x.shape))

@@ -14,6 +14,18 @@ import jax.numpy as jnp
 
 import cupyimg_tpu.ops.onehot_interp as oh
 import cupyimg_tpu.scipy.ndimage as ndi
+from cupyimg_tpu.core.config import config as _config
+
+
+@pytest.fixture(autouse=True)
+def _f32_coords():
+    """The public API routes to the f32 samplers only outside the f64
+    parity tier (interpolation._coord_dtype); force f32 here so the
+    sampler paths under test are actually taken on the CPU backend."""
+    old = _config.coord_precision
+    _config.coord_precision = "f32"
+    yield
+    _config.coord_precision = old
 
 
 @pytest.fixture
