@@ -541,10 +541,12 @@ def separate_stains(rgb, conv_matrix):
     rgb = _prepare_colorarray(rgb)
     rgb = jnp.maximum(rgb, 1e-6)  # avoid log(0)
     log_adjust = np.log(1e-6)
-    stains = (jnp.log(rgb) / log_adjust) @ jnp.asarray(
+    # NB: no clipping to >= 0 — the reference (colorconv.py:1619-1625)
+    # keeps negative concentrations, which makes combine_stains an exact
+    # inverse for in-gamut inputs.
+    return (jnp.log(rgb) / log_adjust) @ jnp.asarray(
         conv_matrix, dtype=rgb.dtype
     )
-    return jnp.maximum(stains, 0)
 
 
 def combine_stains(stains, conv_matrix):
