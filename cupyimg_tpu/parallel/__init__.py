@@ -27,4 +27,7 @@ from cupyimg_tpu.parallel.halo import (  # noqa: F401
     sharded_convolve,
     sharded_binary_erosion,
     sharded_binary_dilation,
+    sharded_shift,
+    sharded_map_coordinates,
+    sharded_affine_transform,
 )

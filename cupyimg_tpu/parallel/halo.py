@@ -673,3 +673,283 @@ def sharded_binary_dilation(x, structure=None, mesh=None, spec=None,
     reference morphology.py:396)."""
     return _sharded_binary(x, structure, mesh, spec, border_value,
                            False)
+
+# ---------------------------------------------------------------------------
+# Sharded interpolation: bounded-displacement warps.
+#
+# A spatially-sharded resample is feasible whenever every output element's
+# source coordinate stays within a bounded distance D of its own position
+# (registration-style warps, optical-flow resampling, subpixel shifts --
+# the reference's map_coordinates uses, _optical_flow_utils.py:14-36).
+# Then a halo of ceil(D) + spline support suffices and the gather never
+# leaves the extended local block.  Spline prefiltering (order >= 2) is
+# run locally on the extended block with extra halo: the IIR boundary
+# init decays like pole^d (reference _spline_prefilter_core.py:270-275
+# uses the same truncation), so _PREFILTER_HALO of 16 keeps the error
+# under ~2e-6 even for order 5 (pole 0.43).
+# ---------------------------------------------------------------------------
+
+_PREFILTER_HALO = 16
+
+
+def _interp_support(order):
+    """Taps reach at most this many pixels from the rounded coordinate."""
+    return order // 2 + 1
+
+
+def _sharded_interp_depths(disp_lo, disp_hi, order, prefilter, ndim):
+    r = _interp_support(order)
+    p = _PREFILTER_HALO if (order >= 2 and prefilter) else 0
+    return [
+        (int(np.ceil(disp_lo[j])) + r + p,
+         int(np.ceil(disp_hi[j])) + r + p)
+        for j in range(ndim)
+    ]
+
+
+def _local_prefilter(ext, order, mode):
+    from cupyimg_tpu.scipy.ndimage import interpolation as _interp
+
+    # modes whose prefilter the reference implements by prepadding
+    # (interpolation.py:254-270) reduce to mirror on the extended block;
+    # the halo already holds the true neighbor/boundary data
+    m = mode if mode in ("mirror", "reflect", "grid-wrap") else "mirror"
+    return _interp.spline_filter(ext, order=order, mode=m,
+                                 output=ext.dtype)
+
+
+def _check_sharded_interp_mode(mode):
+    if mode in ("wrap",):
+        # legacy 'wrap' has period n-1 (last and first sample overlap),
+        # which a ring halo exchange cannot express; grid-wrap (period
+        # n) is supported.
+        raise NotImplementedError(
+            "sharded interpolation supports 'grid-wrap' but not legacy "
+            "'wrap'"
+        )
+
+
+def _halo_fill_mode(mode):
+    """Halo fill at the GLOBAL edges.
+
+    Legacy 'constant' interpolates via the MIRROR extension of the
+    spline coefficients and only masks fully-out-of-domain output
+    coordinates to cval (scipy semantics; see ops/interp.py tap_mode
+    for 'constant'), so its halo fill is mirror and the outer mask in
+    the callers does the rest."""
+    return "mirror" if mode == "constant" else mode
+
+
+def sharded_shift(x, shift, mesh, spec, order=1, mode="reflect", cval=0.0,
+                  prefilter=True):
+    """ndi.shift over a mesh-sharded volume (uniform subpixel shift).
+
+    The displacement is the same everywhere, so the halo per axis is
+    ceil(|shift_j|) + spline support (+ prefilter halo).  Matches
+    single-device ``ndi.shift`` to ~1e-5 (prefilter truncation at shard
+    boundaries); halos must fit in one neighbor shard.
+    """
+    from cupyimg_tpu.scipy.ndimage import interpolation as _interp
+
+    _check_sharded_interp_mode(mode)
+    x = jnp.asarray(x)
+    shifts = np.atleast_1d(np.asarray(shift, dtype=np.float64))
+    if shifts.size == 1:
+        shifts = np.full(x.ndim, float(shifts[0]))
+    names = _spec_axis_names(spec, x.ndim)
+    depths = _sharded_interp_depths(
+        np.maximum(shifts, 0), np.maximum(-shifts, 0), order, prefilter,
+        x.ndim,
+    )
+    n_glob = x.shape
+    fill = _halo_fill_mode(mode)
+
+    def local_fn(xs):
+        ext = xs
+        for axis, (lo, hi) in enumerate(depths):
+            if names[axis] is None:
+                ext = _edge_pad(ext, lo, hi, axis, fill, cval)
+            else:
+                ext = halo_exchange(ext, lo, hi, axis, names[axis], fill,
+                                    cval)
+        if order >= 2 and prefilter:
+            ext = _local_prefilter(ext, order, mode)
+        out = _interp.shift(ext, shifts, order=order, mode="nearest",
+                            prefilter=False)
+        for axis, (lo, _) in enumerate(depths):
+            out = lax.slice_in_dim(out, lo, lo + xs.shape[axis],
+                                   axis=axis)
+        if mode == "constant":
+            # scipy 'constant': source coordinate outside [0, n-1]
+            # yields cval outright (no interpolation into the pad)
+            bad = jnp.zeros(out.shape, bool)
+            for axis in range(out.ndim):
+                gi = jnp.arange(xs.shape[axis], dtype=np.float64)
+                if names[axis] is not None:
+                    gi = gi + lax.axis_index(names[axis]) * xs.shape[axis]
+                src = gi - shifts[axis]
+                bad1 = (src < 0) | (src > n_glob[axis] - 1)
+                shp = [1] * out.ndim
+                shp[axis] = out.shape[axis]
+                bad = bad | bad1.reshape(shp)
+            out = jnp.where(bad, jnp.asarray(cval, out.dtype), out)
+        return out
+
+    fn = shard_map(local_fn, mesh=mesh, in_specs=(spec,), out_specs=spec,
+                   check_vma=False)
+    return fn(x)
+
+
+def sharded_map_coordinates(x, coordinates, mesh, spec, max_displacement,
+                            order=1, mode="reflect", cval=0.0,
+                            prefilter=True):
+    """ndi.map_coordinates over a mesh-sharded volume.
+
+    ``coordinates`` has shape ``(x.ndim, *x.shape)`` and is sharded with
+    the same spec as ``x`` (leading axis replicated); every coordinate
+    must satisfy ``|coords[j] - index_j| <= max_displacement[j]``.  The
+    gather then stays inside a halo-extended local block.
+    """
+    from cupyimg_tpu.scipy.ndimage import interpolation as _interp
+
+    _check_sharded_interp_mode(mode)
+    x = jnp.asarray(x)
+    coordinates = jnp.asarray(coordinates)
+    if coordinates.shape != (x.ndim,) + x.shape:
+        raise ValueError(
+            "sharded_map_coordinates needs dense identity-shaped "
+            "coordinates (ndim, *x.shape)"
+        )
+    disp = np.atleast_1d(np.asarray(max_displacement, dtype=np.float64))
+    if disp.size == 1:
+        disp = np.full(x.ndim, float(disp[0]))
+    names = _spec_axis_names(spec, x.ndim)
+    depths = _sharded_interp_depths(disp, disp, order, prefilter, x.ndim)
+    n_glob = x.shape
+    cspec = P(None, *tuple(spec))
+    fill = _halo_fill_mode(mode)
+
+    def local_fn(xs, cs):
+        ext = xs
+        for axis, (lo, hi) in enumerate(depths):
+            if names[axis] is None:
+                ext = _edge_pad(ext, lo, hi, axis, fill, cval)
+            else:
+                ext = halo_exchange(ext, lo, hi, axis, names[axis], fill,
+                                    cval)
+        if order >= 2 and prefilter:
+            ext = _local_prefilter(ext, order, mode)
+        # global -> extended-local coordinates
+        local_coords = []
+        for j in range(x.ndim):
+            c = cs[j]
+            if names[j] is not None:
+                c = c - (lax.axis_index(names[j]) * xs.shape[j]).astype(
+                    c.dtype)
+            local_coords.append(c + depths[j][0])
+        out = _interp.map_coordinates(
+            ext, jnp.stack(local_coords), order=order, mode="nearest",
+            prefilter=False,
+        )
+        if mode == "constant":
+            bad = jnp.zeros(out.shape, bool)
+            for j in range(x.ndim):
+                bad = bad | (cs[j] < 0) | (cs[j] > n_glob[j] - 1)
+            out = jnp.where(bad, jnp.asarray(cval, out.dtype), out)
+        return out
+
+    fn = shard_map(local_fn, mesh=mesh, in_specs=(spec, cspec),
+                   out_specs=spec, check_vma=False)
+    return fn(x, coordinates)
+
+
+def sharded_affine_transform(x, matrix, offset=0.0, mesh=None, spec=None,
+                             order=1, mode="reflect", cval=0.0,
+                             prefilter=True):
+    """ndi.affine_transform over a mesh-sharded volume.
+
+    Feasible for near-identity affines (small rotations/scalings around
+    the volume, registration-style): the displacement ``M @ o + off - o``
+    is linear in ``o``, so its per-axis extremes over the global output
+    box sit at the box corners; those bound the halo.  Raises if the
+    halo would exceed one neighbor shard.
+    """
+    from cupyimg_tpu.scipy.ndimage import interpolation as _interp
+
+    _check_sharded_interp_mode(mode)
+    x = jnp.asarray(x)
+    ndim = x.ndim
+    matrix = np.asarray(matrix, dtype=np.float64)
+    if matrix.ndim == 1:
+        matrix = np.diag(matrix)
+    if matrix.shape != (ndim, ndim):
+        raise ValueError("matrix must be (ndim,) or (ndim, ndim)")
+    offsets = np.atleast_1d(np.asarray(offset, dtype=np.float64))
+    if offsets.size == 1:
+        offsets = np.full(ndim, float(offsets[0]))
+
+    # displacement extremes over the global output box corners
+    corners = np.array(
+        [[(x.shape[j] - 1) * ((k >> j) & 1) for j in range(ndim)]
+         for k in range(1 << ndim)], dtype=np.float64)
+    disp = corners @ matrix.T + offsets - corners  # (2^ndim, ndim)
+    disp_hi = np.maximum(disp.max(axis=0), 0)   # source beyond index
+    disp_lo = np.maximum(-disp.min(axis=0), 0)  # source before index
+    names = _spec_axis_names(spec, ndim)
+    depths = _sharded_interp_depths(disp_lo, disp_hi, order, prefilter,
+                                    ndim)
+    n_glob = x.shape
+    fill = _halo_fill_mode(mode)
+    mat_j = jnp.asarray(matrix)
+    off_j = jnp.asarray(offsets)
+
+    def local_fn(xs):
+        ext = xs
+        for axis, (lo, hi) in enumerate(depths):
+            if names[axis] is None:
+                ext = _edge_pad(ext, lo, hi, axis, fill, cval)
+            else:
+                ext = halo_exchange(ext, lo, hi, axis, names[axis], fill,
+                                    cval)
+        if order >= 2 and prefilter:
+            ext = _local_prefilter(ext, order, mode)
+        # global output indices of this shard's block
+        starts = []
+        gidx = []
+        for j in range(ndim):
+            g = jnp.arange(xs.shape[j], dtype=jnp.float64)
+            if names[j] is not None:
+                start = lax.axis_index(names[j]) * xs.shape[j]
+                g = g + start
+                starts.append(start)
+            else:
+                starts.append(0)
+            shp = [1] * ndim
+            shp[j] = xs.shape[j]
+            gidx.append(g.reshape(shp))
+        # src_i = sum_j M[i, j] * o_j + off_i, then to ext-local frame
+        local_coords = []
+        for i in range(ndim):
+            src = off_j[i]
+            for j in range(ndim):
+                src = src + mat_j[i, j] * gidx[j]
+            src = jnp.broadcast_to(src, xs.shape)
+            local_coords.append(src - starts[i] + depths[i][0])
+        out = _interp.map_coordinates(
+            ext, jnp.stack(local_coords), order=order, mode="nearest",
+            prefilter=False,
+        )
+        if mode == "constant":
+            bad = jnp.zeros(out.shape, bool)
+            for i in range(ndim):
+                src = off_j[i]
+                for j in range(ndim):
+                    src = src + mat_j[i, j] * gidx[j]
+                src = jnp.broadcast_to(src, xs.shape)
+                bad = bad | (src < 0) | (src > n_glob[i] - 1)
+            out = jnp.where(bad, jnp.asarray(cval, out.dtype), out)
+        return out
+
+    fn = shard_map(local_fn, mesh=mesh, in_specs=(spec,), out_specs=spec,
+                   check_vma=False)
+    return fn(x)

@@ -247,3 +247,88 @@ def test_sharded_map_overlap_custom_fn():
     exp = ndi.uniform_filter(x.astype(np.float64), 3,
                              mode="reflect").astype(np.float32)
     np.testing.assert_allclose(np.asarray(got), exp, rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("mode", ["reflect", "constant", "nearest",
+                                  "grid-wrap"])
+@pytest.mark.parametrize("order", [0, 1, 3])
+def test_sharded_shift(order, mode):
+    mesh = _mesh((4,), ("x",))
+    x = np.random.RandomState(7).randn(128, 19).astype(np.float32)
+    spec = P("x", None)
+    xg = jax.device_put(jnp.asarray(x), NamedSharding(mesh, spec))
+    got = parallel.sharded_shift(xg, (2.3, -1.7), mesh, spec, order=order,
+                                 mode=mode, cval=0.5)
+    exp = ndi.shift(x.astype(np.float64), (2.3, -1.7), order=order,
+                    mode=mode, cval=0.5)
+    np.testing.assert_allclose(np.asarray(got), exp, rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("order", [1, 3])
+def test_sharded_map_coordinates_smooth_warp(order):
+    mesh = _mesh((2, 2), ("x", "y"))
+    n0, n1 = 96, 80
+    x = np.random.RandomState(8).randn(n0, n1).astype(np.float32)
+    r, c = np.mgrid[0:n0, 0:n1].astype(np.float64)
+    coords = np.stack([
+        r + 2.0 * np.sin(c / 13.0),
+        c - 1.5 * np.cos(r / 11.0),
+    ])
+    spec = P("x", "y")
+    xg = jax.device_put(jnp.asarray(x), NamedSharding(mesh, spec))
+    cg = jax.device_put(jnp.asarray(coords),
+                        NamedSharding(mesh, P(None, "x", "y")))
+    got = parallel.sharded_map_coordinates(
+        xg, cg, mesh, spec, max_displacement=2.0, order=order,
+        mode="reflect",
+    )
+    exp = ndi.map_coordinates(x.astype(np.float64), coords, order=order,
+                              mode="reflect")
+    np.testing.assert_allclose(np.asarray(got), exp, rtol=2e-5, atol=2e-5)
+
+
+def test_sharded_map_coordinates_constant_edge():
+    mesh = _mesh((4,), ("x",))
+    n0, n1 = 128, 17
+    x = np.random.RandomState(9).randn(n0, n1).astype(np.float32)
+    r, c = np.mgrid[0:n0, 0:n1].astype(np.float64)
+    coords = np.stack([r - 2.5, c + 1.25])  # pushes past both edges
+    spec = P("x", None)
+    xg = jax.device_put(jnp.asarray(x), NamedSharding(mesh, spec))
+    cg = jax.device_put(jnp.asarray(coords),
+                        NamedSharding(mesh, P(None, "x", None)))
+    got = parallel.sharded_map_coordinates(
+        xg, cg, mesh, spec, max_displacement=2.5, order=1,
+        mode="constant", cval=3.5,
+    )
+    exp = ndi.map_coordinates(x.astype(np.float64), coords, order=1,
+                              mode="constant", cval=3.5)
+    np.testing.assert_allclose(np.asarray(got), exp, rtol=2e-5, atol=2e-5)
+
+
+def test_sharded_shift_legacy_wrap_rejected():
+    mesh = _mesh((4,), ("x",))
+    x = jnp.zeros((64, 8), jnp.float32)
+    with pytest.raises(NotImplementedError):
+        parallel.sharded_shift(x, (1.0, 0.0), mesh, P("x", None),
+                               mode="wrap")
+
+
+@pytest.mark.parametrize("order", [0, 1, 3])
+@pytest.mark.parametrize("mode", ["reflect", "constant", "nearest"])
+def test_sharded_affine_small_rotation(order, mode):
+    mesh = _mesh((2, 2), ("x", "y"))
+    n0, n1 = 96, 88
+    x = np.random.RandomState(11).randn(n0, n1).astype(np.float32)
+    th = np.deg2rad(2.0)
+    c = np.array([(n0 - 1) / 2, (n1 - 1) / 2])
+    R = np.array([[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]])
+    off = c - R @ c
+    spec = P("x", "y")
+    xg = jax.device_put(jnp.asarray(x), NamedSharding(mesh, spec))
+    got = parallel.sharded_affine_transform(
+        xg, R, off, mesh, spec, order=order, mode=mode, cval=1.5,
+    )
+    exp = ndi.affine_transform(x.astype(np.float64), R, off, order=order,
+                               mode=mode, cval=1.5)
+    np.testing.assert_allclose(np.asarray(got), exp, rtol=3e-5, atol=3e-5)
