@@ -156,6 +156,15 @@ def main():
          _slope_ms(lambda v: ndi.binary_erosion(v), bin_img), nb2 // 4)
     emit("grey_erosion_2d_4096_s5",
          _slope_ms(lambda v: ndi.grey_erosion(v, size=5), img), nb2)
+    emit("binary_opening_2d_4096",
+         _slope_ms(lambda v: ndi.binary_opening(v), bin_img), nb2 // 4)
+    emit("grey_opening_2d_4096_s5",
+         _slope_ms(lambda v: ndi.grey_opening(v, size=5), img), nb2)
+    emit("percentile_filter_2d_4096_p30_s5",
+         _slope_ms(lambda v: ndi.percentile_filter(v, 30, size=5), img),
+         nb2)
+    emit("median_3d_256c_s3",
+         _slope_ms(lambda v: ndi.median_filter(v, 3), vol), nb3)
 
     # --- interpolation / warping suite ------------------------------------
     mat = np.array([[0.9, 0.1], [-0.1, 0.9]], np.float32)
@@ -188,6 +197,42 @@ def main():
                    n1=1, n2=6))
     emit("spline_filter_2d_4096_ord3",
          _slope_ms(lambda v: ndi.spline_filter(v, order=3), img), nb2)
+    # boundary-mode sweep (BASELINE config group 2: "all modes")
+    for bmode in ("mirror", "nearest", "constant", "wrap"):
+        emit(
+            f"gaussian_2d_4096_sig3_{bmode}",
+            _slope_ms(
+                lambda v, m=bmode: ndi.gaussian_filter(v, 3.0, mode=m),
+                img,
+            ),
+            nb2,
+        )
+    # order-5 spline + complex interpolation (config group 4)
+    emit(
+        "shift_2d_4096_order5",
+        _slope_ms(
+            lambda v: ndi.shift(v, (2.3, -1.7), order=5, mode="reflect"),
+            img, n1=1, n2=6,
+        ),
+        nb2,
+    )
+    cimg = (img[:2048, :2048]
+            + 1j * img[2048:, 2048:]).astype(jnp.complex64)
+    emit(
+        "shift_complex_2d_2048_order3",
+        _slope_ms(
+            lambda v: ndi.shift(v, (1.3, -0.7), order=3, mode="reflect"),
+            cimg, n1=1, n2=6,
+        ),
+        cimg.size * 8 * 2,
+    )
+    emit(
+        "zoom_complex_2d_2048_order1",
+        _slope_ms(
+            lambda v: ndi.zoom(v, 1.0, order=1), cimg, n1=1, n2=6,
+        ),
+        cimg.size * 8 * 2,
+    )
     emit(
         "rotate_3d_256c_order1",
         _slope_ms(
