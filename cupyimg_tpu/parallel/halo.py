@@ -341,21 +341,25 @@ def sharded_fftconvolve(x, kernel, mesh, spec, mode="same"):
 def sharded_label(x, mesh, spec, structure=None):
     """Distributed connected-component labeling over a device mesh.
 
-    The input is sharded along its FIRST axis (``spec`` must shard axis 0
-    and leave the rest unsharded).  Labeling is the same atomics-free
-    min-label propagation as :func:`cupyimg_tpu.scipy.ndimage.label`
-    (measurements.py), run cooperatively:
+    Any subset of the array axes may be sharded (``spec`` entries name
+    mesh axes; 1-D row sharding and 2-D tile sharding both work).
+    Labeling is the same atomics-free min-label propagation as
+    :func:`cupyimg_tpu.scipy.ndimage.label` (measurements.py), run
+    cooperatively:
 
-    - each round, every shard exchanges one boundary slab with its mesh
-      neighbors over ICI (``lax.ppermute``), takes the windowed label
-      minimum, and path-compresses against its *local* pointer table
-      (cross-shard parents are left as-is — compression is only an
+    - labels are GLOBAL flat indices, built per shard from the global
+      coordinate frame (shard start = mesh index * local extent), so
+      root ids are globally consistent without communication;
+    - each round, every shard exchanges a one-deep boundary slab with
+      its mesh neighbors over ICI (``lax.ppermute``) on every sharded
+      axis (global edges and unsharded axes pad with the SENT
+      background sentinel), takes the windowed label minimum, and
+      path-compresses against its *local* pointer table (cross-shard
+      parents pass through unchanged — compression is only an
       accelerator, min-propagation alone converges);
     - the round loop is a ``lax.while_loop`` whose continue flag is the
-      ``psum`` of the shards' local change flags, so all shards stop
-      together after the global fixpoint;
-    - root ids are globally consistent because labels are global flat
-      indices (shard base offset = shard_index * local_size).
+      ``psum`` of the shards' local change flags over all mesh axes, so
+      all shards stop together after the global fixpoint.
 
     The final 1..N relabel runs as plain global ops on the sharded
     result (a cumsum + gather; GSPMD inserts the collectives), which is
@@ -365,75 +369,115 @@ def sharded_label(x, mesh, spec, structure=None):
     """
     from cupyimg_tpu.scipy.ndimage.measurements import (
         _structure_offsets,
-        _shift_with_fill,
     )
 
     x = jnp.asarray(x)
     ndim = x.ndim
     names = _spec_axis_names(spec, ndim)
-    if names[0] is None or any(n is not None for n in names[1:]):
-        raise ValueError(
-            "sharded_label shards axis 0 only; pass a PartitionSpec "
-            "like P('x') / P('x', None, ...)"
-        )
-    axis_name = names[0]
-    n_dev = mesh.shape[axis_name]
-    if x.shape[0] % n_dev:
-        raise ValueError(
-            f"axis 0 ({x.shape[0]}) must divide the mesh axis "
-            f"({n_dev})"
-        )
+    sharded_names = [nm for nm in names if nm is not None]
+    if not sharded_names:
+        raise ValueError("spec shards no axis; use ndi.label instead")
+    nloc = []
+    for j, nm in enumerate(names):
+        if nm is None:
+            nloc.append(x.shape[j])
+        else:
+            nd = mesh.shape[nm]
+            if x.shape[j] % nd:
+                raise ValueError(
+                    f"axis {j} ({x.shape[j]}) must divide mesh axis "
+                    f"'{nm}' ({nd})"
+                )
+            nloc.append(x.shape[j] // nd)
 
     offsets = _structure_offsets(structure, ndim)
     use_box = len(offsets) == 3 ** ndim - 1
     n = x.size
+    if n >= np.iinfo(np.int32).max:
+        raise ValueError("sharded_label supports < 2^31 elements")
     SENT = np.int32(n)
-    rest = int(np.prod(x.shape[1:], dtype=np.int64)) if ndim > 1 else 1
-    nloc_rows = x.shape[0] // n_dev
-    nlocal = nloc_rows * rest
+    # global C-order strides
+    strides = [1] * ndim
+    for j in range(ndim - 2, -1, -1):
+        strides[j] = strides[j + 1] * x.shape[j + 1]
+    nlocal = int(np.prod(nloc, dtype=np.int64))
+
+    def _starts():
+        return [
+            (lax.axis_index(names[j]) * nloc[j]).astype(np.int32)
+            if names[j] is not None else np.int32(0)
+            for j in range(ndim)
+        ]
 
     def local_fn(xs):
-        idx = lax.axis_index(axis_name)
         fg = xs != 0
-        base = idx.astype(np.int32) * np.int32(nlocal)
-        flat_local = jnp.arange(nlocal, dtype=np.int32).reshape(xs.shape)
-        lab0 = jnp.where(fg, flat_local + base, SENT)
+        starts = _starts()
+        # global flat index of every local cell
+        gidx = jnp.zeros((), np.int32)
+        for j in range(ndim):
+            g = (jnp.arange(nloc[j], dtype=np.int32) + starts[j]) \
+                * np.int32(strides[j])
+            shp = [1] * ndim
+            shp[j] = nloc[j]
+            gidx = gidx + g.reshape(shp)
+        gidx = jnp.broadcast_to(gidx, xs.shape)
+        lab0 = jnp.where(fg, gidx, SENT)
 
         def propagate(lab):
-            # 1-deep halo of neighbor labels over ICI; global edges are
-            # SENT (= background, the min identity)
-            ext = halo_exchange(
-                lab, 1, 1, 0, axis_name, "grid-constant", SENT
-            )  # labels are SENT at background cells already
+            ext = lab
+            for j in range(ndim):
+                if names[j] is None:
+                    ext = _edge_pad(ext, 1, 1, j, "grid-constant", SENT)
+                else:
+                    ext = halo_exchange(
+                        ext, 1, 1, j, names[j], "grid-constant", SENT
+                    )
             if use_box:
                 m = lax.reduce_window(
-                    ext, SENT, lax.min, (3,) * ndim, (1,) * ndim, "SAME"
+                    ext, SENT, lax.min, (3,) * ndim, (1,) * ndim,
+                    "VALID",
                 )
             else:
-                m = ext
+                m = ext[tuple(slice(1, 1 + nloc[j]) for j in
+                              range(ndim))]
                 for off in offsets:
-                    m = jnp.minimum(
-                        m, _shift_with_fill(ext, off, SENT)
+                    sl = tuple(
+                        slice(1 + off[j], 1 + off[j] + nloc[j])
+                        for j in range(ndim)
                     )
-            m = lax.slice_in_dim(m, 1, 1 + nloc_rows, axis=0)
+                    m = jnp.minimum(m, ext[sl])
             return jnp.where(fg, jnp.minimum(lab, m), SENT)
 
         def compress(lab):
-            # local-only pointer doubling: follow parents that live in
-            # this shard; remote parents pass through unchanged
             flat = lab.ravel()
-            local = flat - base
-            in_loc = (local >= 0) & (local < nlocal)
-            safe = jnp.clip(local, 0, nlocal - 1)
-            hop = jnp.where(in_loc, flat[safe], flat)
-            local2 = hop - base
-            in_loc2 = (local2 >= 0) & (local2 < nlocal)
-            safe2 = jnp.clip(local2, 0, nlocal - 1)
-            hop2 = jnp.where(in_loc2, flat[safe2], hop)
+            starts_ = _starts()
+
+            def localize(f):
+                # global flat -> (in-shard?, local flat)
+                in_loc = f != SENT
+                loc = jnp.zeros_like(f)
+                for j in range(ndim):
+                    c = (f // np.int32(strides[j])) % np.int32(
+                        x.shape[j])
+                    lc = c - starts_[j]
+                    in_loc = in_loc & (lc >= 0) & (lc < nloc[j])
+                    loc = loc * np.int32(nloc[j]) + lc
+                return in_loc, jnp.clip(loc, 0, nlocal - 1)
+
+            in1, l1 = localize(flat)
+            hop = jnp.where(in1, flat[l1], flat)
+            in2, l2 = localize(hop)
+            hop2 = jnp.where(in2, flat[l2], hop)
             return jnp.minimum(flat, hop2).reshape(lab.shape)
 
         def round_(lab):
             return compress(propagate(lab))
+
+        def _changed(new, old):
+            delta = jnp.any(new != old).astype(np.int32)
+            for nm in sharded_names:
+                delta = lax.psum(delta, nm)
+            return delta > 0
 
         def cond(carry):
             _, changed = carry
@@ -442,17 +486,10 @@ def sharded_label(x, mesh, spec, structure=None):
         def body(carry):
             lab, _ = carry
             new = round_(lab)
-            delta = jnp.any(new != lab)
-            changed = lax.psum(
-                delta.astype(np.int32), axis_name
-            ) > 0
-            return new, changed
+            return new, _changed(new, lab)
 
         lab1 = round_(lab0)
-        d1 = lax.psum(
-            jnp.any(lab1 != lab0).astype(np.int32), axis_name
-        ) > 0
-        lab, _ = lax.while_loop(cond, body, (lab1, d1))
+        lab, _ = lax.while_loop(cond, body, (lab1, _changed(lab1, lab0)))
         return lab
 
     roots = shard_map(

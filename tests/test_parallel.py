@@ -158,11 +158,48 @@ def test_sharded_label_3d_spanning_components():
     np.testing.assert_array_equal(np.asarray(lab), exp)
 
 
+def test_sharded_label_axis1():
+    mesh = _mesh((8,), ("x",))
+    rs = np.random.RandomState(21)
+    m = rs.rand(24, 32) > 0.55
+    spec = P(None, "x")
+    xg = jax.device_put(jnp.asarray(m), NamedSharding(mesh, spec))
+    labels, num = parallel.sharded_label(xg, mesh, spec)
+    exp_labels, exp_num = ndi.label(m)
+    assert int(num) == exp_num
+    np.testing.assert_array_equal(np.asarray(labels), exp_labels)
+
+
+def test_sharded_label_2d_tiles():
+    mesh = _mesh((4, 2), ("x", "y"))
+    rs = np.random.RandomState(22)
+    m = rs.rand(40, 36) > 0.5
+    spec = P("x", "y")
+    xg = jax.device_put(jnp.asarray(m), NamedSharding(mesh, spec))
+    labels, num = parallel.sharded_label(xg, mesh, spec)
+    exp_labels, exp_num = ndi.label(m)
+    assert int(num) == exp_num
+    np.testing.assert_array_equal(np.asarray(labels), exp_labels)
+
+
+def test_sharded_label_2d_tiles_full_structure():
+    mesh = _mesh((2, 2, 2), ("x", "y", "z"))
+    rs = np.random.RandomState(23)
+    m = rs.rand(16, 12, 10) > 0.6
+    spec = P("x", "y", "z")
+    s8 = np.ones((3, 3, 3), bool)
+    xg = jax.device_put(jnp.asarray(m), NamedSharding(mesh, spec))
+    labels, num = parallel.sharded_label(xg, mesh, spec, structure=s8)
+    exp_labels, exp_num = ndi.label(m, structure=s8)
+    assert int(num) == exp_num
+    np.testing.assert_array_equal(np.asarray(labels), exp_labels)
+
+
 def test_sharded_label_validates_spec():
     mesh = _mesh((8,), ("x",))
     with pytest.raises(ValueError):
         parallel.sharded_label(
-            jnp.zeros((16, 16)), mesh, P(None, "x")
+            jnp.zeros((16, 16)), mesh, P(None, None)
         )
 
 
