@@ -8,6 +8,7 @@ time upper bound).  Same ``repeat()`` API and printed statistics.
 
 from __future__ import annotations
 
+import contextlib as _contextlib
 import math
 import time as _time
 
@@ -105,3 +106,25 @@ def repeat(
 
     ts = np.asarray([cpu_times] + dev_times, dtype=np.float64)
     return _PerfCaseResult(name, ts, devices=devices)
+
+
+@_contextlib.contextmanager
+def trace(log_dir="/tmp/cupyimg_tpu_trace"):
+    """Capture a ``jax.profiler`` trace of the enclosed block.
+
+    TPU analog of the reference's CUDA-event instrumentation
+    (cupyimg/time.py:54-148) for timeline-level inspection: open the
+    resulting directory with TensorBoard's profile plugin or
+    ``xprof``.  Usage::
+
+        with cupyimg_tpu.time.trace("/tmp/tr"):
+            out = ndi.uniform_filter(x, 5)
+            out.block_until_ready()
+    """
+    import jax.profiler as _profiler
+
+    _profiler.start_trace(log_dir)
+    try:
+        yield log_dir
+    finally:
+        _profiler.stop_trace()
