@@ -180,8 +180,47 @@ def correlate1d_axis(x, weights1d, axis: int, mode, cval, origin, acc_dtype):
 
     The reference reshapes 1-d weights into an nd singleton kernel
     (_filters_core.py:51-60 ``_convert_1d_args``); here the same trick.
+
+    Symmetric / antisymmetric odd kernels fold pairs scipy-style
+    (``w[mid+k]*(x[i+k] ± x[i-k])``, NI_Correlate1D's special case):
+    same flop order as scipy, so last-ulp rounding — which integer
+    truncation amplifies to ±1 — matches exactly.
     """
     size = weights1d.shape[0]
+    if (
+        isinstance(weights1d, np.ndarray)
+        and origin == 0
+        and size > 1
+        and size % 2 == 1
+        and np.dtype(acc_dtype).kind in "fc"
+    ):
+        mid = size // 2
+        w = weights1d
+        sym = bool(np.array_equal(w[:mid], w[:mid:-1]))
+        asym = bool(np.array_equal(w[:mid], -w[:mid:-1]))
+        if sym or asym:
+            pad_width = [(0, 0)] * x.ndim
+            pad_width[axis] = (mid, mid)
+            xp = boundary.pad(x, pad_width, mode, cval).astype(acc_dtype)
+            n = x.shape[axis]
+
+            def seg(k):  # slice at tap offset k (0..size-1)
+                sl = [slice(None)] * x.ndim
+                sl[axis] = slice(k, k + n)
+                return xp[tuple(sl)]
+
+            wc = jnp.asarray(w[mid]).astype(acc_dtype)
+            out = wc * seg(mid) if w[mid] != 0 else None
+            for k in range(1, mid + 1):
+                if w[mid + k] == 0:
+                    continue
+                pair = seg(mid + k) + seg(mid - k) if sym else (
+                    seg(mid + k) - seg(mid - k))
+                term = jnp.asarray(w[mid + k]).astype(acc_dtype) * pair
+                out = term if out is None else out + term
+            if out is None:
+                out = jnp.zeros(x.shape, acc_dtype)
+            return out
     shape = [1] * x.ndim
     shape[axis] = size
     w_nd = weights1d.reshape(shape)

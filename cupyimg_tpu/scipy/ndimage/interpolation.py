@@ -102,14 +102,18 @@ def _coord_dtype(allow_float32):
 
 def _finalize(out, out_dtype):
     """Cast interpolation output; scipy rounds integer outputs half away
-    from zero."""
+    from zero and SATURATES at the dtype bounds (spline overshoot on a
+    uint8 image clamps to 0/255, it does not wrap)."""
     out_dtype = np.dtype(out_dtype)
     if np.dtype(out.dtype).kind == "c" and out_dtype.kind != "c":
         out = out.real
     if out_dtype.kind in "iu":
         out = jnp.where(
             out >= 0, jnp.floor(out + 0.5), jnp.ceil(out - 0.5)
-        ).astype(np.int64)
+        )
+        info = np.iinfo(out_dtype)
+        out = jnp.clip(out, float(info.min), float(info.max))
+        out = out.astype(np.int64)
     return out.astype(out_dtype)
 
 

@@ -371,3 +371,30 @@ class TestGenericFilter:
             tndi.generic_filter1d(
                 np.zeros((4, 8)), lambda l: l, 3, axis=1
             )
+
+
+def test_symmetric_fold_matches_scipy_int_truncation():
+    """Symmetric 1-d kernels fold pairs scipy-style; integer truncation
+    amplifies last-ulp accumulation-order differences to +-1, so the
+    knife-edge case from fuzzing is pinned here."""
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(1)
+    x = (rng.rand(10, 4, 10) * 50).astype(np.int32)
+    sig = (0.651821334896423, 1.27756594638148, 0.4843048984600131)
+    got = np.asarray(tndi.gaussian_filter(jnp.asarray(x), sig,
+                                          mode="reflect", cval=1.0))
+    exp = ndi.gaussian_filter(x, sig, mode="reflect", cval=1.0)
+    np.testing.assert_array_equal(got, exp)
+
+
+def test_antisymmetric_fold_parity():
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(2)
+    x = rng.randn(17, 18)
+    w = np.array([-2.0, -1.0, 0.0, 1.0, 2.0])
+    got = np.asarray(tndi.correlate1d(jnp.asarray(x), jnp.asarray(w),
+                                      axis=1, mode="mirror"))
+    exp = ndi.correlate1d(x, w, axis=1, mode="mirror")
+    np.testing.assert_allclose(got, exp, rtol=1e-12, atol=1e-12)

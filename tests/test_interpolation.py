@@ -292,3 +292,22 @@ class TestSeparableCoordsProbe:
         gsep = np.mgrid[0:64, 0:64, 0:64].astype(np.float32) * 1.25
         sep = tinterp._separable_coords(jnp.asarray(gsep), 3)
         assert sep is not None and len(sep) == 3
+
+
+def test_integer_output_saturates_on_overshoot():
+    """Spline overshoot on integer images clamps at the dtype bounds
+    (scipy semantics), it does not wrap: shifting a uint8 step edge at
+    order 5 overshoots past [0, 255] on both sides."""
+    import jax.numpy as jnp
+
+    x = np.zeros((9, 9), np.uint8)
+    x[:, 4:] = 255
+    got = np.asarray(tinterp.shift(jnp.asarray(x), (0.0, 0.4), order=5))
+    exp = ndi.shift(x, (0.0, 0.4), order=5)
+    np.testing.assert_array_equal(got, exp)
+
+    xi = np.zeros((9, 9), np.int8)
+    xi[:, 4:] = 127
+    got = np.asarray(tinterp.shift(jnp.asarray(xi), (0.0, 0.4), order=5))
+    exp = ndi.shift(xi, (0.0, 0.4), order=5)
+    np.testing.assert_array_equal(got, exp)
