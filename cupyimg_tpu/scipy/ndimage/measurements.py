@@ -231,6 +231,23 @@ def _num_segments(labels):
     return int(jnp.max(labels)) + 1 if labels.size else 1
 
 
+def _host_counts(labels, num_seg):
+    """Per-label pixel counts on the host (the call sites already sync)."""
+    lab = np.asarray(labels).ravel()
+    lab = np.clip(lab, 0, None).astype(np.int64)
+    return np.bincount(lab, minlength=num_seg)
+
+
+def _present_mask(index, num_seg, counts):
+    """Which requested labels actually occur (absent => scipy's
+    empty-set semantics: 0 for sum, NaN for mean-family, ValueError for
+    min/max/positions, 0 for extrema)."""
+    idx = np.asarray(index)
+    within = (idx >= 0) & (idx < num_seg)
+    safe = np.clip(idx, 0, num_seg - 1)
+    return within & (counts[safe] > 0)
+
+
 def _segment_sum_by(values, labels, num_seg):
     return jax.ops.segment_sum(
         values.ravel(), labels.ravel().astype(np.int32), num_segments=num_seg
@@ -283,9 +300,11 @@ def mean(input, labels=None, index=None):
         mask = jnp.arange(num_seg) > 0
         tot = jnp.sum(jnp.where(mask, sums, 0.0))
         cnt = jnp.sum(jnp.where(mask, counts, 0.0))
-        return tot / jnp.maximum(cnt, 1)
+        return tot / cnt  # 0/0 -> nan, matching scipy's empty division
     out = means[jnp.asarray(np.clip(index, 0, num_seg - 1))]
-    out = jnp.where(jnp.asarray(index) < num_seg, out, 0.0)
+    present = jnp.asarray(_present_mask(index, num_seg,
+                                        _host_counts(labels, num_seg)))
+    out = jnp.where(present, out, jnp.nan)
     return out[0] if scalar else out
 
 
@@ -308,19 +327,18 @@ def variance(input, labels=None, index=None):
     vars_ = var_sums / jnp.maximum(counts, 1)
     if index is None:
         mask = (jnp.arange(num_seg) > 0) & (counts > 0)
-        m_all = jnp.sum(jnp.where(mask, sums, 0.0)) / jnp.maximum(
-            jnp.sum(jnp.where(mask, counts, 0.0)), 1
-        )
+        cnt_all = jnp.sum(jnp.where(mask, counts, 0.0))
+        m_all = jnp.sum(jnp.where(mask, sums, 0.0)) / cnt_all
         dev_all = jnp.where(labels.ravel() > 0, (xf.ravel() - m_all), 0.0)
         if np.dtype(xf.dtype).kind == "c":
             sq_all = (dev_all * jnp.conj(dev_all)).real
         else:
             sq_all = dev_all * dev_all
-        return jnp.sum(sq_all) / jnp.maximum(
-            jnp.sum(jnp.where(labels.ravel() > 0, 1.0, 0.0)), 1
-        )
+        return jnp.sum(sq_all) / cnt_all  # 0/0 -> nan like scipy
     out = vars_[jnp.asarray(np.clip(index, 0, num_seg - 1))]
-    out = jnp.where(jnp.asarray(index) < num_seg, out, 0.0)
+    present = jnp.asarray(_present_mask(index, num_seg,
+                                        _host_counts(labels, num_seg)))
+    out = jnp.where(present, out, jnp.nan)
     return out[0] if scalar else out
 
 
@@ -347,6 +365,14 @@ def maximum(input, labels=None, index=None):
     return _min_or_max(input, labels, index, False)
 
 
+def _empty_reduction_error(is_min):
+    # scipy lets numpy raise this when a requested label has no pixels
+    return ValueError(
+        "zero-size array to reduction operation "
+        f"{'minimum' if is_min else 'maximum'} which has no identity"
+    )
+
+
 def _min_or_max(input, labels, index, is_min):
     x, labels, index, scalar = _norm_labels_index(input, labels, index)
     if labels is None:
@@ -354,13 +380,23 @@ def _min_or_max(input, labels, index, is_min):
     num_seg = _num_segments(labels)
     per = _segment_minmax(x, labels, num_seg, is_min)
     if index is None:
+        if num_seg == 1:  # no nonzero labels at all
+            raise _empty_reduction_error(is_min)
         masked = jnp.where(
             labels.ravel() > 0,
             x.ravel(),
             jnp.inf if is_min else -jnp.inf,
         )
         return jnp.min(masked) if is_min else jnp.max(masked)
+    present = _present_mask(index, num_seg, _host_counts(labels, num_seg))
+    # scipy raises only for a SCALAR absent index (np.min of the empty
+    # value set); the list form reads 0.0 for absent labels
+    if scalar and not present.all():
+        raise _empty_reduction_error(is_min)
     out = per[jnp.asarray(np.clip(index, 0, num_seg - 1))]
+    if not present.all():
+        out = jnp.where(jnp.asarray(present), out,
+                        jnp.asarray(0, out.dtype))
     return out[0] if scalar else out
 
 
@@ -374,6 +410,8 @@ def _position_of(input, labels, index, is_min):
                 int(v) for v in np.unravel_index(int(flat), x.shape)
             )
     n = x.size
+    if index is None and int(jnp.max(labels)) == 0:
+        raise _empty_reduction_error(is_min)
     if index is None:
         # scipy merges every nonzero label into one region when index is
         # None (its _select path): position of the GLOBAL extremum over
@@ -389,6 +427,10 @@ def _position_of(input, labels, index, is_min):
         flat = jnp.min(jnp.where(valid & (xf == gval), jnp.arange(n), n))
         return tuple(int(v) for v in np.unravel_index(int(flat), x.shape))
     num_seg = _num_segments(labels)
+    present = _present_mask(index, num_seg, _host_counts(labels, num_seg))
+    # scalar absent index raises like scipy; list form yields position 0
+    if scalar and not present.all():
+        raise _empty_reduction_error(is_min)
     per = _segment_minmax(x, labels, num_seg, is_min)
     target = per[labels.ravel().astype(np.int32)]
     hit = x.ravel() == target
@@ -396,10 +438,11 @@ def _position_of(input, labels, index, is_min):
     first = jax.ops.segment_min(
         pos, labels.ravel().astype(np.int32), num_segments=num_seg
     )
-    flats = first[jnp.asarray(np.clip(index, 0, num_seg - 1))]
+    flats = np.asarray(first[jnp.asarray(np.clip(index, 0, num_seg - 1))])
+    flats = np.where(present, flats, 0)  # absent (extrema): position 0
     out = [
         tuple(int(v) for v in np.unravel_index(int(f), x.shape))
-        for f in np.asarray(flats)
+        for f in flats
     ]
     return out[0] if scalar else out
 
@@ -415,7 +458,9 @@ def maximum_position(input, labels=None, index=None):
 
 
 def extrema(input, labels=None, index=None):
-    """(min, max, min_position, max_position) per label (scipy parity)."""
+    """(min, max, min_position, max_position) per label (scipy parity:
+    a scalar absent index raises; absent labels in a list yield 0.0
+    values and position 0, same as minimum()/maximum())."""
     return (
         minimum(input, labels, index),
         maximum(input, labels, index),
@@ -451,7 +496,12 @@ def median(input, labels=None, index=None):
         vals = jnp.where(mask, xf, jnp.nan)
         return jnp.nanmedian(vals)
     out = med[jnp.asarray(np.clip(index, 0, num_seg - 1))]
-    out = jnp.where(jnp.asarray(index) < num_seg, out, 0.0)
+    # absent labels -> NaN.  (scipy's scalar form gives NaN; its list
+    # form reads unspecified garbage out of the empty segment-boundary
+    # arithmetic — NaN is the sane common answer.)
+    present = jnp.asarray(_present_mask(index, num_seg,
+                                        _host_counts(labels, num_seg)))
+    out = jnp.where(present, out, jnp.nan)
     return out[0] if scalar else out
 
 
@@ -478,7 +528,8 @@ def center_of_mass(input, labels=None, index=None):
             for g in grids
         )
     idx = jnp.asarray(np.clip(index, 0, num_seg - 1))
-    cols = [np.asarray(c[idx]) for c in coords]
+    present = _present_mask(index, num_seg, _host_counts(labels, num_seg))
+    cols = [np.where(present, np.asarray(c[idx]), np.nan) for c in coords]
     out = [tuple(float(c[i]) for c in cols) for i in range(len(index))]
     return out[0] if scalar else out
 

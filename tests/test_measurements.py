@@ -201,3 +201,67 @@ class TestFourier:
         exp = ndi.fourier_ellipsoid(X, 4)
         np.testing.assert_allclose(np.asarray(got), exp, rtol=1e-9,
                                    atol=1e-9)
+
+
+class TestAbsentLabels:
+    """scipy's empty-set semantics when ``index`` requests labels that
+    never occur: sum -> 0, mean/variance/std/median/center_of_mass ->
+    NaN, minimum/maximum/positions raise for a SCALAR absent index but
+    zero-fill in list form (extrema shares that), and index=None with
+    all-background labels follows the same rules."""
+
+    x = np.array([[1.0, 2.0], [3.0, 4.0]])
+    labels = np.array([[0, 1], [1, 3]])  # label 2 absent, max label 3
+
+    def _j(self):
+        import jax.numpy as jnp
+
+        return jnp.asarray(self.x), jnp.asarray(self.labels)
+
+    def test_sum_zero(self):
+        xj, lj = self._j()
+        np.testing.assert_allclose(
+            np.asarray(tmeas.sum(xj, lj, [1, 2, 9]), float), [5.0, 0, 0])
+
+    def test_nan_family(self):
+        xj, lj = self._j()
+        for op in ("mean", "variance", "standard_deviation"):
+            out = np.asarray(getattr(tmeas, op)(xj, lj, [1, 2, 9]), float)
+            assert np.isfinite(out[0]) and np.isnan(out[1:]).all(), op
+            assert np.isnan(float(np.asarray(
+                getattr(tmeas, op)(xj, lj, 2))))
+        assert np.isnan(float(np.asarray(tmeas.median(xj, lj, 2))))
+        com = tmeas.center_of_mass(xj, lj, [1, 2])
+        assert np.isfinite(com[0]).all() and np.isnan(com[1]).all()
+
+    def test_minmax_scalar_raises_list_zerofills(self):
+        xj, lj = self._j()
+        for op in ("minimum", "maximum", "minimum_position",
+                   "maximum_position"):
+            with pytest.raises(ValueError):
+                getattr(tmeas, op)(xj, lj, 2)
+        np.testing.assert_allclose(
+            np.asarray(tmeas.minimum(xj, lj, [1, 2]), float), [2.0, 0.0])
+        assert tmeas.maximum_position(xj, lj, [1, 2]) == [(1, 0), (0, 0)]
+
+    def test_extrema_matches_minmax_semantics(self):
+        xj, lj = self._j()
+        with pytest.raises(ValueError):
+            tmeas.extrema(xj, lj, 2)
+        mn, mx, mnp, mxp = tmeas.extrema(xj, lj, [1, 2])
+        np.testing.assert_allclose(np.asarray(mn, float), [2.0, 0.0])
+        np.testing.assert_allclose(np.asarray(mx, float), [3.0, 0.0])
+        assert mnp == [(0, 1), (0, 0)] and mxp == [(1, 0), (0, 0)]
+
+    def test_all_background_index_none(self):
+        import jax.numpy as jnp
+
+        xj = jnp.asarray(self.x)
+        lab0 = jnp.zeros_like(jnp.asarray(self.labels))
+        assert float(np.asarray(tmeas.sum(xj, lab0))) == 0.0
+        assert np.isnan(float(np.asarray(tmeas.mean(xj, lab0))))
+        assert np.isnan(float(np.asarray(tmeas.median(xj, lab0))))
+        with pytest.raises(ValueError):
+            tmeas.minimum(xj, lab0)
+        with pytest.raises(ValueError):
+            tmeas.minimum_position(xj, lab0)
