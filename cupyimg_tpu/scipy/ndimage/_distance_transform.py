@@ -160,11 +160,35 @@ def distance_transform_edt(
         raise RuntimeError("at least one output must be requested")
     x = jnp.asarray(input) != 0
     dist, pos = _edt_core(x, sampling, bool(return_indices))
+    # scipy artifact for an all-foreground input (no zeros anywhere):
+    # the nearest "feature" defaults to virtual index (-1, 0, ..., 0),
+    # so dist[i0,...] = hypot((i0+1)*s0, i1*s1, ...)
+    has_bg = jnp.any(~x)
+    ndim = x.ndim
+    if sampling is None:
+        samp = (1.0,) * ndim
+    elif np.isscalar(sampling):
+        samp = (float(sampling),) * ndim
+    else:
+        samp = tuple(float(s) for s in np.asarray(sampling))
+    acc = jnp.zeros((), jnp.float32)
+    for ax in range(ndim):
+        g = jnp.arange(x.shape[ax], dtype=jnp.float32)
+        if ax == 0:
+            g = g + 1.0
+        shp = [1] * ndim
+        shp[ax] = x.shape[ax]
+        acc = acc + (g.reshape(shp) * np.float32(samp[ax])) ** 2
+    virtual = jnp.broadcast_to(jnp.sqrt(acc), x.shape)
+    dist = jnp.where(has_bg, dist, virtual)
     results = []
     if return_distances:
         results.append(dist)
     if return_indices:
-        results.append(jnp.stack(pos, axis=0))
+        idx = jnp.stack(pos, axis=0)
+        vidx = jnp.zeros_like(idx).at[0].set(-1)
+        idx = jnp.where(has_bg, idx, vidx)
+        results.append(idx)
     return results[0] if len(results) == 1 else tuple(results)
 
 
@@ -251,9 +275,10 @@ def distance_transform_cdt(
     x = jnp.asarray(input) != 0
     results = []
     if return_distances:
-        results.append(
-            _cdt_core(x, "chessboard" if m == "chessboard" else "taxicab")
-        )
+        out = _cdt_core(x, "chessboard" if m == "chessboard" else "taxicab")
+        # scipy returns -1 everywhere when there is no background
+        out = jnp.where(jnp.any(~x), out, jnp.asarray(-1, out.dtype))
+        results.append(out)
     if return_indices:
         # feature indices via the EDT machinery with the matching metric
         # exponentiation is not defined for chamfer; use euclidean argmin

@@ -2,6 +2,7 @@
 reference documents as missing (cupyimg morphology.py:32-38)."""
 
 import numpy as np
+import jax.numpy as jnp
 import pytest
 import scipy.ndimage as sndi
 
@@ -101,3 +102,24 @@ class TestBF:
         )
         exp = sndi.distance_transform_bf(a, metric=metric)
         np.testing.assert_allclose(got, exp, atol=1e-5)
+
+
+def test_all_foreground_scipy_artifact():
+    """No background anywhere: scipy's edt reports distance to a virtual
+    zero at index (-1, 0, ..., 0); cdt returns -1 everywhere."""
+    m = np.ones((4, 5), bool)
+    got = np.asarray(ndi.distance_transform_edt(jnp.asarray(m)))
+    np.testing.assert_allclose(got, sndi.distance_transform_edt(m),
+                               atol=1e-5)
+    got = np.asarray(ndi.distance_transform_edt(
+        jnp.asarray(m), sampling=(2.0, 0.5)))
+    np.testing.assert_allclose(
+        got, sndi.distance_transform_edt(m, sampling=(2.0, 0.5)),
+        atol=1e-5)
+    d, i = ndi.distance_transform_edt(jnp.asarray(m), return_indices=True)
+    ed, ei = sndi.distance_transform_edt(m, return_indices=True)
+    np.testing.assert_array_equal(np.asarray(i), ei)
+    got = np.asarray(ndi.distance_transform_cdt(jnp.asarray(m),
+                                                metric="taxicab"))
+    np.testing.assert_array_equal(
+        got, sndi.distance_transform_cdt(m, metric="taxicab"))
