@@ -43,12 +43,16 @@ HOMOGRAPHY_TRANSFORMS = (
 
 def _to_ndimage_mode(mode):
     """np.pad-style mode name -> ndimage mode (skimage convention)."""
+    # reference _geometric.py:14-21: np.pad names map onto the LEGACY
+    # ndimage modes ('wrap' stays period-(n-1) legacy wrap, 'constant'
+    # stays legacy constant) — skimage only moved to the grid- modes
+    # after the reference's era
     mode_translation_dict = {
         "constant": "constant",
         "edge": "nearest",
         "symmetric": "reflect",
         "reflect": "mirror",
-        "wrap": "grid-wrap",
+        "wrap": "wrap",
     }
     if mode not in mode_translation_dict:
         raise ValueError(

@@ -243,3 +243,37 @@ class TestIntegralPyramids:
         x = _img((8, 8), 10)
         out = np.asarray(tf.pyramid_expand(x, 2))
         assert out.shape == (16, 16)
+
+
+def test_warp_mode_translation_legacy():
+    """np.pad mode names map to LEGACY ndimage modes (reference
+    _geometric.py:14-21): 'wrap' is period-(n-1) legacy wrap, 'constant'
+    legacy constant; scipy map_coordinates on the forward matrix (warp's
+    inverse-map convention) plus skimage's clip is the oracle."""
+    import jax.numpy as jnp
+    import scipy.ndimage as sndi
+
+    rng = np.random.RandomState(53)
+    modemap = {"constant": "constant", "edge": "nearest",
+               "symmetric": "reflect", "reflect": "mirror",
+               "wrap": "wrap"}
+    x = rng.rand(14, 17)
+    t = tf.SimilarityTransform(rotation=0.3, translation=(1.7, -2.1),
+                               scale=1.1)
+    M = np.asarray(t.params)
+    r, c = np.mgrid[0:14, 0:17].astype(float)
+    src_x = M[0, 0] * c + M[0, 1] * r + M[0, 2]
+    src_y = M[1, 0] * c + M[1, 1] * r + M[1, 2]
+    for skmode, ndmode in modemap.items():
+        for order in (0, 1, 3):
+            got = np.asarray(tf.warp(jnp.asarray(x), t, order=order,
+                                     mode=skmode, cval=0.4))
+            exp = sndi.map_coordinates(x, np.stack([src_y, src_x]),
+                                       order=order, mode=ndmode,
+                                       cval=0.4)
+            lo, hi = x.min(), x.max()
+            if skmode == "constant":
+                lo, hi = min(lo, 0.4), max(hi, 0.4)
+            np.testing.assert_allclose(got, np.clip(exp, lo, hi),
+                                       atol=5e-5,
+                                       err_msg=f"{skmode} o{order}")
