@@ -62,7 +62,9 @@ def threshold_otsu(image=None, nbins=256, *, hist=None):
     weight2 = jnp.cumsum(counts[::-1])[::-1]
     csum = jnp.cumsum(counts * bin_centers)
     mean1 = csum / jnp.where(weight1 == 0, 1, weight1)
-    mean2 = (csum[-1] - csum) / jnp.where(weight2 == 0, 1, weight2)
+    # mean of bins [i:]: numerator must INCLUDE bin i like weight2 does
+    csum_excl = csum - counts * bin_centers
+    mean2 = (csum[-1] - csum_excl) / jnp.where(weight2 == 0, 1, weight2)
     # between-class variance at split after index i
     variance12 = weight1[:-1] * weight2[1:] * (mean1[:-1] - mean2[1:]) ** 2
     idx = jnp.argmax(variance12)

@@ -292,3 +292,29 @@ class TestPeak:
         x[7, 7] = 1.0
         coords = np.asarray(peak_local_max(x, threshold_rel=0.5))
         assert coords.shape == (1, 2)
+
+
+def test_threshold_otsu_exact_formula_plateau():
+    """Near-plateau criterion from fuzzing: the between-class variance
+    numerator for the upper class must include the split bin, exactly
+    like skimage's reversed-cumsum mean2 (off by one bin, the argmax
+    lands ~8 bins away on bimodal data)."""
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(81)
+    x = None
+    for _ in range(15):
+        x = np.concatenate([rng.normal(0.3, 0.05, 300),
+                            rng.normal(0.7, 0.08, 500)]).reshape(40, 20)
+    got = float(np.asarray(filters.threshold_otsu(jnp.asarray(x))))
+    counts, edges = np.histogram(x.ravel(), 256)
+    centers = (edges[:-1] + edges[1:]) / 2
+    w1 = np.cumsum(counts)
+    w2 = np.cumsum(counts[::-1])[::-1]
+    csum = np.cumsum(counts * centers)
+    m1 = csum / np.where(w1 == 0, 1, w1)
+    m2 = (np.cumsum((counts * centers)[::-1])
+          / np.maximum(np.cumsum(counts[::-1]), 1))[::-1]
+    v12 = w1[:-1] * w2[1:] * (m1[:-1] - m2[1:]) ** 2
+    exp = centers[:-1][np.argmax(v12)]
+    np.testing.assert_allclose(got, exp, rtol=1e-12)
