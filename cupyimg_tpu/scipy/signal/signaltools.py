@@ -557,6 +557,7 @@ def choose_conv_method(in1, in2, mode="full", measure=False):
     volume = jnp.asarray(in1)
     kernel = jnp.asarray(in2)
     if measure:
+        # scipy returns (method, times-dict) when measuring
         times = {}
         for method in ("fft", "direct"):
             def run(m=method):
@@ -564,7 +565,8 @@ def choose_conv_method(in1, in2, mode="full", measure=False):
                 r.block_until_ready()
 
             times[method] = timeit.timeit(run, number=3)
-        return "fft" if times["fft"] < times["direct"] else "direct"
+        chosen = "fft" if times["fft"] < times["direct"] else "direct"
+        return chosen, times
     if volume.dtype.kind in "iu" and kernel.dtype.kind in "iu":
         # fft result must round-trip exactly through float64
         max_value = float(jnp.max(jnp.abs(volume))) * float(

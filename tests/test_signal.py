@@ -354,3 +354,15 @@ class TestMxFFT:
                                  mode="same")
         exp = sps.fftconvolve(x, k, mode="same")
         assert np.abs(np.asarray(got) - exp).max() < 1e-10
+
+
+def test_choose_conv_method_measure_returns_times():
+    """measure=True returns (method, times) like scipy."""
+    import jax.numpy as jnp
+
+    x = jnp.asarray(np.random.RandomState(0).rand(128))
+    y = jnp.asarray(np.random.RandomState(1).rand(17))
+    method, times = tsig.choose_conv_method(x, y, measure=True)
+    assert method in ("fft", "direct")
+    assert set(times) == {"fft", "direct"}
+    assert all(t > 0 for t in times.values())
