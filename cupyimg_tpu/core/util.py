@@ -68,3 +68,27 @@ def warn_unused(**kwargs):
     for name, value in kwargs.items():
         if value is not None:
             warnings.warn(f"argument {name!r} is ignored", UserWarning)
+
+
+def check_axes(axes, ndim: int):
+    """Normalize scipy's ``axes`` argument: None -> all axes, scalar ->
+    1-tuple; negative axes wrap; duplicates rejected (scipy >= 1.11
+    filter semantics)."""
+    if axes is None:
+        return tuple(range(ndim))
+    if np.isscalar(axes):
+        axes = (axes,)
+    axes = tuple(check_axis(int(a), ndim) for a in axes)
+    if len(set(axes)) != len(axes):
+        raise ValueError("axes must be unique")
+    return axes
+
+
+def expand_axes_arg(arg, axes, ndim: int, name: str, default, conv):
+    """Per-axis argument given over ``axes`` -> full-ndim list with
+    ``default`` on excluded axes."""
+    vals = fix_sequence_arg(arg, len(axes), name, conv)
+    out = [default] * ndim
+    for a, v in zip(axes, vals):
+        out[a] = v
+    return out

@@ -158,15 +158,22 @@ def correlate(
     origin=0,
     *,
     use_weights_mask=False,
+    axes=None,
     dtype_mode=None,
 ):
     """Multi-dimensional correlation (scipy.ndimage.correlate parity).
 
     ``use_weights_mask`` is accepted for reference API parity
     (reference filters.py:65-134) but is a no-op: concrete zero weights are
-    always skipped at trace time here.
+    always skipped at trace time here.  ``axes`` restricts correlation to
+    those axes (scipy >= 1.15): weights spans len(axes) dims.
     """
     del use_weights_mask
+    ndim = jnp.ndim(input)
+    ax = util.check_axes(axes, ndim)
+    if len(ax) != ndim:
+        weights = _axes_embed_array(weights, ax, ndim, "filter weights")
+        origin = util.expand_axes_arg(origin, ax, ndim, "origin", 0, int)
     return _correlate_or_convolve(
         input, weights, output, mode, cval, origin, False, dtype_mode
     )
@@ -181,10 +188,17 @@ def convolve(
     origin=0,
     *,
     use_weights_mask=False,
+    axes=None,
     dtype_mode=None,
 ):
-    """Multi-dimensional convolution (scipy.ndimage.convolve parity)."""
+    """Multi-dimensional convolution (scipy.ndimage.convolve parity;
+    ``axes`` as in :func:`correlate`)."""
     del use_weights_mask
+    ndim = jnp.ndim(input)
+    ax = util.check_axes(axes, ndim)
+    if len(ax) != ndim:
+        weights = _axes_embed_array(weights, ax, ndim, "filter weights")
+        origin = util.expand_axes_arg(origin, ax, ndim, "origin", 0, int)
     return _correlate_or_convolve(
         input, weights, output, mode, cval, origin, True, dtype_mode
     )
@@ -440,14 +454,19 @@ def uniform_filter(
     cval=0.0,
     origin=0,
     *,
+    axes=None,
     dtype_mode=None,
 ):
     """Multi-dimensional uniform filter — the README benchmark op
-    (reference filters.py:602-665; separable per-axis box passes)."""
+    (reference filters.py:602-665; separable per-axis box passes).
+    ``axes`` restricts filtering to those axes (scipy >= 1.11)."""
     input = jnp.asarray(input)
-    sizes = util.fix_sequence_arg(size, input.ndim, "size", int)
-    origins = util.fix_sequence_arg(origin, input.ndim, "origin", int)
-    modes = util.fix_sequence_arg(mode, input.ndim, "mode", str)
+    axes = util.check_axes(axes, input.ndim)
+    sizes = util.expand_axes_arg(size, axes, input.ndim, "size", 1, int)
+    origins = util.expand_axes_arg(origin, axes, input.ndim, "origin", 0,
+                                   int)
+    modes = util.expand_axes_arg(mode, axes, input.ndim, "mode",
+                                 "reflect", str)
     out_dtype = dtypes.resolve_output_dtype(output, input.dtype)
     axes_params = [
         (
@@ -536,14 +555,20 @@ def gaussian_filter(
     truncate=4.0,
     *,
     radius=None,
+    axes=None,
     dtype_mode=None,
 ):
-    """Multi-dimensional Gaussian filter (reference filters.py:726-795)."""
+    """Multi-dimensional Gaussian filter (reference filters.py:726-795).
+    ``axes`` restricts filtering to those axes (scipy >= 1.11)."""
     input = jnp.asarray(input)
-    orders = util.fix_sequence_arg(order, input.ndim, "order", int)
-    sigmas = util.fix_sequence_arg(sigma, input.ndim, "sigma", float)
-    modes = util.fix_sequence_arg(mode, input.ndim, "mode", str)
-    radii = util.fix_sequence_arg(radius, input.ndim, "radius")
+    axes = util.check_axes(axes, input.ndim)
+    orders = util.expand_axes_arg(order, axes, input.ndim, "order", 0, int)
+    sigmas = util.expand_axes_arg(sigma, axes, input.ndim, "sigma", 0.0,
+                                  float)
+    modes = util.expand_axes_arg(mode, axes, input.ndim, "mode",
+                                 "reflect", str)
+    radii = util.expand_axes_arg(radius, axes, input.ndim, "radius", None,
+                                 lambda v: v)
     axes_params = []
     for axis in range(input.ndim):
         if sigmas[axis] > 1e-15:
@@ -598,27 +623,33 @@ def generic_laplace(
     cval=0.0,
     extra_arguments=(),
     extra_keywords=None,
+    *,
+    axes=None,
 ):
-    """Sum of per-axis second derivatives (reference filters.py:883-940)."""
+    """Sum of per-axis second derivatives (reference filters.py:883-940).
+    ``axes`` selects which axes the derivatives are taken over."""
     if extra_keywords is None:
         extra_keywords = {}
     input = jnp.asarray(input)
     out_dtype = dtypes.resolve_output_dtype(output, input.dtype)
-    modes = util.fix_sequence_arg(mode, input.ndim, "mode", str)
-    if input.ndim == 0:
+    axes = util.check_axes(axes, input.ndim)
+    modes = util.fix_sequence_arg(mode, len(axes), "mode", str)
+    if input.ndim == 0 or not axes:
         return input.astype(out_dtype)
     acc = derivative2(
-        input, 0, out_dtype, modes[0], cval, *extra_arguments, **extra_keywords
+        input, axes[0], out_dtype, modes[0], cval,
+        *extra_arguments, **extra_keywords
     )
-    for ax in range(1, input.ndim):
+    for i, ax in enumerate(axes[1:], start=1):
         acc = acc + derivative2(
-            input, ax, out_dtype, modes[ax], cval,
+            input, ax, out_dtype, modes[i], cval,
             *extra_arguments, **extra_keywords
         )
     return acc.astype(out_dtype)
 
 
-def laplace(input, output=None, mode="reflect", cval=0.0, *, dtype_mode=None):
+def laplace(input, output=None, mode="reflect", cval=0.0, *, axes=None,
+            dtype_mode=None):
     """N-d Laplace filter via [1, -2, 1] second differences (scipy parity)."""
 
     def derivative2(x, axis, out_dtype, mode, cval):
@@ -627,24 +658,29 @@ def laplace(input, output=None, mode="reflect", cval=0.0, *, dtype_mode=None):
             dtype_mode=dtype_mode,
         )
 
-    return generic_laplace(input, derivative2, output, mode, cval)
+    return generic_laplace(input, derivative2, output, mode, cval,
+                           axes=axes)
 
 
 def gaussian_laplace(
     input, sigma, output=None, mode="reflect", cval=0.0, *,
-    dtype_mode=None, **kwargs
+    axes=None, dtype_mode=None, **kwargs
 ):
     """Laplace of Gaussian (scipy parity)."""
+    ndim = jnp.ndim(input)
+    ax = util.check_axes(axes, ndim)
+    sigmas = util.expand_axes_arg(sigma, ax, ndim, "sigma", 0.0, float)
 
     def derivative2(x, axis, out_dtype, mode, cval):
         order = [0] * x.ndim
         order[axis] = 2
         return gaussian_filter(
-            x, sigma, order, out_dtype, mode, cval,
+            x, sigmas, order, out_dtype, mode, cval,
             dtype_mode=dtype_mode, **kwargs
         )
 
-    return generic_laplace(input, derivative2, output, mode, cval)
+    return generic_laplace(input, derivative2, output, mode, cval,
+                           axes=axes)
 
 
 def generic_gradient_magnitude(
@@ -655,23 +691,27 @@ def generic_gradient_magnitude(
     cval=0.0,
     extra_arguments=(),
     extra_keywords=None,
+    *,
+    axes=None,
 ):
     """sqrt of sum of squared per-axis derivatives (reference
-    filters.py:943-1000)."""
+    filters.py:943-1000).  ``axes`` selects the derivative axes."""
     if extra_keywords is None:
         extra_keywords = {}
     input = jnp.asarray(input)
     out_dtype = dtypes.resolve_output_dtype(output, input.dtype)
-    modes = util.fix_sequence_arg(mode, input.ndim, "mode", str)
-    if input.ndim == 0:
+    axes = util.check_axes(axes, input.ndim)
+    modes = util.fix_sequence_arg(mode, len(axes), "mode", str)
+    if input.ndim == 0 or not axes:
         return input.astype(out_dtype)
     d = derivative(
-        input, 0, out_dtype, modes[0], cval, *extra_arguments, **extra_keywords
+        input, axes[0], out_dtype, modes[0], cval,
+        *extra_arguments, **extra_keywords
     )
     acc = (d * jnp.conj(d)).real if np.dtype(d.dtype).kind == "c" else d * d
-    for ax in range(1, input.ndim):
+    for i, ax in enumerate(axes[1:], start=1):
         d = derivative(
-            input, ax, out_dtype, modes[ax], cval,
+            input, ax, out_dtype, modes[i], cval,
             *extra_arguments, **extra_keywords
         )
         acc = acc + (
@@ -682,9 +722,15 @@ def generic_gradient_magnitude(
 
 def gaussian_gradient_magnitude(
     input, sigma, output=None, mode="reflect", cval=0.0, *,
-    dtype_mode=None, **kwargs
+    axes=None, dtype_mode=None, **kwargs
 ):
-    """Gradient magnitude of Gaussian derivatives (scipy parity)."""
+    """Gradient magnitude of Gaussian derivatives (scipy parity).
+
+    NB scipy quirk (1.17): with ``axes`` given, the SMOOTHING still
+    spans every axis (sigma is forwarded to gaussian_filter raw, full
+    rank); only the derivative sum is restricted to ``axes`` — unlike
+    gaussian_laplace, which smooths only over ``axes``.  Reproduced
+    exactly."""
 
     def derivative(x, axis, out_dtype, mode, cval):
         order = [0] * x.ndim
@@ -694,12 +740,30 @@ def gaussian_gradient_magnitude(
             dtype_mode=dtype_mode, **kwargs
         )
 
-    return generic_gradient_magnitude(input, derivative, output, mode, cval)
+    return generic_gradient_magnitude(input, derivative, output, mode, cval,
+                                      axes=axes)
 
 
 # ---------------------------------------------------------------------------
 # min/max filters
 # ---------------------------------------------------------------------------
+
+
+def _axes_embed_array(arr, axes, ndim, name):
+    """Insert singleton dims into a len(axes)-rank footprint/structure/
+    weights array so it spans the full input rank (scipy `axes`
+    semantics, >= 1.11)."""
+    if arr is None:
+        return None
+    a = np.asarray(arr)
+    if a.ndim != len(axes):
+        raise RuntimeError(f"{name} array has incorrect shape")
+    if len(axes) == ndim:
+        return arr
+    for ax in range(ndim):
+        if ax not in axes:
+            a = np.expand_dims(a, ax)
+    return a
 
 
 def _get_footprint(input, size, footprint, allow_separable=True):
@@ -837,11 +901,30 @@ def _min_or_max_filter(
     return out.astype(out_dtype)
 
 
+def _axes_minmax_args(input, size, footprint, mode, origin, axes):
+    """Expand size/footprint/mode/origin from `axes`-relative to
+    full-rank (identity on excluded axes)."""
+    ndim = jnp.ndim(input)
+    axes = util.check_axes(axes, ndim)
+    if len(axes) == ndim:
+        return size, footprint, mode, origin
+    if footprint is not None:
+        footprint = _axes_embed_array(footprint, axes, ndim, "footprint")
+    elif size is not None:
+        size = util.expand_axes_arg(size, axes, ndim, "size", 1, int)
+    mode = util.expand_axes_arg(mode, axes, ndim, "mode", "reflect", str)
+    origin = util.expand_axes_arg(origin, axes, ndim, "origin", 0, int)
+    return size, footprint, mode, origin
+
+
 def minimum_filter(
     input, size=None, footprint=None, output=None, mode="reflect", cval=0.0,
-    origin=0,
+    origin=0, *, axes=None,
 ):
-    """Multi-dimensional minimum filter (scipy parity)."""
+    """Multi-dimensional minimum filter (scipy parity incl. `axes`)."""
+    size, footprint, mode, origin = _axes_minmax_args(
+        input, size, footprint, mode, origin, axes
+    )
     return _min_or_max_filter(
         input, size, footprint, None, output, mode, cval, origin, True
     )
@@ -849,9 +932,12 @@ def minimum_filter(
 
 def maximum_filter(
     input, size=None, footprint=None, output=None, mode="reflect", cval=0.0,
-    origin=0,
+    origin=0, *, axes=None,
 ):
-    """Multi-dimensional maximum filter (scipy parity)."""
+    """Multi-dimensional maximum filter (scipy parity incl. `axes`)."""
+    size, footprint, mode, origin = _axes_minmax_args(
+        input, size, footprint, mode, origin, axes
+    )
     return _min_or_max_filter(
         input, size, footprint, None, output, mode, cval, origin, False
     )
@@ -944,12 +1030,27 @@ def _rank_filter(
     return sorted_w[rank].astype(out_dtype)
 
 
+def _axes_rank_args(input, size, footprint, origin, axes):
+    ndim = jnp.ndim(input)
+    axes = util.check_axes(axes, ndim)
+    if len(axes) == ndim:
+        return size, footprint, origin
+    if footprint is not None:
+        footprint = _axes_embed_array(footprint, axes, ndim, "footprint")
+    elif size is not None:
+        size = util.expand_axes_arg(size, axes, ndim, "size", 1, int)
+    origin = util.expand_axes_arg(origin, axes, ndim, "origin", 0, int)
+    return size, footprint, origin
+
+
 def rank_filter(
     input, rank, size=None, footprint=None, output=None, mode="reflect",
-    cval=0.0, origin=0,
+    cval=0.0, origin=0, *, axes=None,
 ):
-    """Multi-dimensional rank filter (scipy parity)."""
+    """Multi-dimensional rank filter (scipy parity incl. `axes`)."""
     rank = int(rank)
+    size, footprint, origin = _axes_rank_args(input, size, footprint,
+                                              origin, axes)
     return _rank_filter(
         input, lambda fs: rank, size, footprint, output, mode, cval, origin
     )
@@ -957,9 +1058,11 @@ def rank_filter(
 
 def median_filter(
     input, size=None, footprint=None, output=None, mode="reflect", cval=0.0,
-    origin=0,
+    origin=0, *, axes=None,
 ):
-    """Multi-dimensional median filter (scipy parity)."""
+    """Multi-dimensional median filter (scipy parity incl. `axes`)."""
+    size, footprint, origin = _axes_rank_args(input, size, footprint,
+                                              origin, axes)
     return _rank_filter(
         input, lambda fs: fs // 2, size, footprint, output, mode, cval, origin
     )
@@ -967,9 +1070,9 @@ def median_filter(
 
 def percentile_filter(
     input, percentile, size=None, footprint=None, output=None, mode="reflect",
-    cval=0.0, origin=0,
+    cval=0.0, origin=0, *, axes=None,
 ):
-    """Multi-dimensional percentile filter (scipy parity)."""
+    """Multi-dimensional percentile filter (scipy parity incl. `axes`)."""
     percentile = float(percentile)
     if percentile < 0.0:
         percentile += 100.0
@@ -981,6 +1084,8 @@ def percentile_filter(
             return fs - 1
         return int(float(fs) * percentile / 100.0)
 
+    size, footprint, origin = _axes_rank_args(input, size, footprint,
+                                              origin, axes)
     return _rank_filter(
         input, get_rank, size, footprint, output, mode, cval, origin
     )

@@ -24,7 +24,8 @@ from jax import lax
 
 from cupyimg_tpu.core import boundary, dtypes, util
 from cupyimg_tpu.ops import stencil
-from cupyimg_tpu.scipy.ndimage.filters import _min_or_max_filter
+from cupyimg_tpu.scipy.ndimage.filters import (_axes_embed_array,
+                                               _min_or_max_filter)
 
 __all__ = [
     "generate_binary_structure",
@@ -148,6 +149,35 @@ def _iterate_binary_op(x0, step, iterations, mask):
     return y
 
 
+def _binary_axes_args(input, structure, origin, axes):
+    """scipy `axes` (>= 1.15) for binary morphology: the structure spans
+    len(axes) dims and is embedded with singleton dims elsewhere."""
+    ndim = jnp.ndim(input)
+    axes = util.check_axes(axes, ndim)
+    if len(axes) == ndim:
+        return structure, origin
+    if structure is None:
+        structure = generate_binary_structure(len(axes), 1)
+    structure = _axes_embed_array(structure, axes, ndim, "structure")
+    origin = util.expand_axes_arg(origin, axes, ndim, "origin", 0, int)
+    return structure, origin
+
+
+def _grey_axes_args(input, size, footprint, structure, origin, axes):
+    ndim = jnp.ndim(input)
+    axes = util.check_axes(axes, ndim)
+    if len(axes) == ndim:
+        return size, footprint, structure, origin
+    if structure is not None:
+        structure = _axes_embed_array(structure, axes, ndim, "structure")
+    if footprint is not None:
+        footprint = _axes_embed_array(footprint, axes, ndim, "footprint")
+    if structure is None and footprint is None and size is not None:
+        size = util.expand_axes_arg(size, axes, ndim, "size", 1, int)
+    origin = util.expand_axes_arg(origin, axes, ndim, "origin", 0, int)
+    return size, footprint, structure, origin
+
+
 def _binary_erosion(
     input, structure, iterations, mask, output, border_value, origin, invert,
 ):
@@ -181,7 +211,7 @@ def _binary_erosion(
 
 def binary_erosion(
     input, structure=None, iterations=1, mask=None, output=None,
-    border_value=0, origin=0, brute_force=False,
+    border_value=0, origin=0, brute_force=False, *, axes=None,
 ):
     """Multidimensional binary erosion (scipy parity).
 
@@ -190,6 +220,7 @@ def binary_erosion(
     optimization is a host-pointer-chasing trick with no TPU analog).
     """
     del brute_force
+    structure, origin = _binary_axes_args(input, structure, origin, axes)
     return _binary_erosion(
         input, structure, iterations, mask, output, border_value, origin,
         False,
@@ -198,10 +229,11 @@ def binary_erosion(
 
 def binary_dilation(
     input, structure=None, iterations=1, mask=None, output=None,
-    border_value=0, origin=0, brute_force=False,
+    border_value=0, origin=0, brute_force=False, *, axes=None,
 ):
     """Multidimensional binary dilation (scipy parity)."""
     del brute_force
+    structure, origin = _binary_axes_args(input, structure, origin, axes)
     return _binary_erosion(
         input, structure, iterations, mask, output, border_value, origin,
         True,
@@ -210,9 +242,10 @@ def binary_dilation(
 
 def binary_opening(
     input, structure=None, iterations=1, output=None, origin=0, mask=None,
-    border_value=0, brute_force=False,
+    border_value=0, brute_force=False, *, axes=None,
 ):
     """Binary opening: dilation of the erosion (scipy parity)."""
+    structure, origin = _binary_axes_args(input, structure, origin, axes)
     tmp = binary_erosion(
         input, structure, iterations, mask, None, border_value, origin,
         brute_force,
@@ -225,9 +258,10 @@ def binary_opening(
 
 def binary_closing(
     input, structure=None, iterations=1, output=None, origin=0, mask=None,
-    border_value=0, brute_force=False,
+    border_value=0, brute_force=False, *, axes=None,
 ):
     """Binary closing: erosion of the dilation (scipy parity)."""
+    structure, origin = _binary_axes_args(input, structure, origin, axes)
     tmp = binary_dilation(
         input, structure, iterations, mask, None, border_value, origin,
         brute_force,
@@ -279,10 +313,12 @@ def binary_propagation(
     )
 
 
-def binary_fill_holes(input, structure=None, output=None, origin=0):
+def binary_fill_holes(input, structure=None, output=None, origin=0, *,
+                      axes=None):
     """Fill holes: propagate background from the border, invert
     (scipy parity; reference morphology.py:726-766)."""
     input = jnp.asarray(input)
+    structure, origin = _binary_axes_args(input, structure, origin, axes)
     mask = jnp.logical_not(input != 0)
     tmp = jnp.zeros(mask.shape, bool)
     filled = binary_dilation(tmp, structure, -1, mask, None, 1, origin)
@@ -311,11 +347,14 @@ def _grey_structure(size, footprint, structure, ndim):
 
 def grey_erosion(
     input, size=None, footprint=None, structure=None, output=None,
-    mode="reflect", cval=0.0, origin=0,
+    mode="reflect", cval=0.0, origin=0, *, axes=None,
 ):
-    """Grey-scale erosion (scipy parity)."""
+    """Grey-scale erosion (scipy parity incl. `axes`)."""
     size, footprint, structure = _grey_structure(
         size, footprint, structure, jnp.ndim(input)
+    )
+    size, footprint, structure, origin = _grey_axes_args(
+        input, size, footprint, structure, origin, axes
     )
     return _min_or_max_filter(
         input, size, footprint, structure, output, mode, cval, origin, True
@@ -324,9 +363,9 @@ def grey_erosion(
 
 def grey_dilation(
     input, size=None, footprint=None, structure=None, output=None,
-    mode="reflect", cval=0.0, origin=0,
+    mode="reflect", cval=0.0, origin=0, *, axes=None,
 ):
-    """Grey-scale dilation (scipy parity).
+    """Grey-scale dilation (scipy parity incl. `axes`).
 
     scipy mirrors the structure/footprint and negates origins (with the
     even-size shift) before taking the max; the same is done here since the
@@ -334,6 +373,9 @@ def grey_dilation(
     """
     size, footprint, structure = _grey_structure(
         size, footprint, structure, jnp.ndim(input)
+    )
+    size, footprint, structure, origin = _grey_axes_args(
+        input, size, footprint, structure, origin, axes
     )
     ndim = jnp.ndim(input)
     origins = util.fix_sequence_arg(origin, ndim, "origin", int)
@@ -355,65 +397,69 @@ def grey_dilation(
 
 def grey_opening(
     input, size=None, footprint=None, structure=None, output=None,
-    mode="reflect", cval=0.0, origin=0,
+    mode="reflect", cval=0.0, origin=0, *, axes=None,
 ):
     """Grey opening: dilation of the erosion (scipy parity)."""
     tmp = grey_erosion(
-        input, size, footprint, structure, None, mode, cval, origin
+        input, size, footprint, structure, None, mode, cval, origin,
+        axes=axes,
     )
     return grey_dilation(
-        tmp, size, footprint, structure, output, mode, cval, origin
+        tmp, size, footprint, structure, output, mode, cval, origin,
+        axes=axes,
     )
 
 
 def grey_closing(
     input, size=None, footprint=None, structure=None, output=None,
-    mode="reflect", cval=0.0, origin=0,
+    mode="reflect", cval=0.0, origin=0, *, axes=None,
 ):
     """Grey closing: erosion of the dilation (scipy parity)."""
     tmp = grey_dilation(
-        input, size, footprint, structure, None, mode, cval, origin
+        input, size, footprint, structure, None, mode, cval, origin,
+        axes=axes,
     )
     return grey_erosion(
-        tmp, size, footprint, structure, output, mode, cval, origin
+        tmp, size, footprint, structure, output, mode, cval, origin,
+        axes=axes,
     )
 
 
 def morphological_gradient(
     input, size=None, footprint=None, structure=None, output=None,
-    mode="reflect", cval=0.0, origin=0,
+    mode="reflect", cval=0.0, origin=0, *, axes=None,
 ):
     """Dilation minus erosion (scipy parity)."""
     d = grey_dilation(input, size, footprint, structure, None, mode, cval,
-                      origin)
+                      origin, axes=axes)
     e = grey_erosion(input, size, footprint, structure, None, mode, cval,
-                     origin)
+                     origin, axes=axes)
     out_dtype = dtypes.resolve_output_dtype(output, jnp.asarray(input).dtype)
     return (d - e).astype(out_dtype)
 
 
 def morphological_laplace(
     input, size=None, footprint=None, structure=None, output=None,
-    mode="reflect", cval=0.0, origin=0,
+    mode="reflect", cval=0.0, origin=0, *, axes=None,
 ):
     """Dilation + erosion - 2*input (scipy parity)."""
     input = jnp.asarray(input)
     d = grey_dilation(input, size, footprint, structure, None, mode, cval,
-                      origin)
+                      origin, axes=axes)
     e = grey_erosion(input, size, footprint, structure, None, mode, cval,
-                     origin)
+                     origin, axes=axes)
     out_dtype = dtypes.resolve_output_dtype(output, input.dtype)
     return (d + e - 2 * input).astype(out_dtype)
 
 
 def white_tophat(
     input, size=None, footprint=None, structure=None, output=None,
-    mode="reflect", cval=0.0, origin=0,
+    mode="reflect", cval=0.0, origin=0, *, axes=None,
 ):
     """Input minus grey opening (scipy parity)."""
     input = jnp.asarray(input)
     opened = grey_opening(input, size, footprint, structure, None, mode, cval,
-                          origin)
+                          origin, axes=axes)
     out_dtype = dtypes.resolve_output_dtype(output, input.dtype)
     if input.dtype == np.bool_:
         return (input ^ opened).astype(out_dtype)
@@ -422,12 +468,12 @@ def white_tophat(
 
 def black_tophat(
     input, size=None, footprint=None, structure=None, output=None,
-    mode="reflect", cval=0.0, origin=0,
+    mode="reflect", cval=0.0, origin=0, *, axes=None,
 ):
     """Grey closing minus input (scipy parity)."""
     input = jnp.asarray(input)
     closed = grey_closing(input, size, footprint, structure, None, mode, cval,
-                          origin)
+                          origin, axes=axes)
     out_dtype = dtypes.resolve_output_dtype(output, input.dtype)
     if input.dtype == np.bool_:
         return (closed ^ input).astype(out_dtype)
