@@ -37,6 +37,7 @@ from cupyimg_tpu.scipy.ndimage.interpolation import (  # noqa: F401
     shift,
     zoom,
     rotate,
+    geometric_transform,
 )
 from cupyimg_tpu.scipy.ndimage.fourier import (  # noqa: F401
     fourier_gaussian,
@@ -47,6 +48,7 @@ from cupyimg_tpu.scipy.ndimage.fourier import (  # noqa: F401
 from cupyimg_tpu.scipy.ndimage import measurements  # noqa: F401
 from cupyimg_tpu.scipy.ndimage.measurements import (  # noqa: F401
     find_objects,
+    value_indices,
     label,
     sum_labels,
     mean,

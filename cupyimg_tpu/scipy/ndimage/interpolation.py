@@ -32,6 +32,7 @@ __all__ = [
     "shift",
     "zoom",
     "rotate",
+    "geometric_transform",
 ]
 
 
@@ -906,5 +907,46 @@ def rotate(
 
     return affine_transform(
         x, matrix, offset, output_shape, output, order, mode, cval, prefilter,
+        allow_float32=allow_float32,
+    )
+
+
+def geometric_transform(
+    input,
+    mapping,
+    output_shape=None,
+    output=None,
+    order=3,
+    mode="constant",
+    cval=0.0,
+    prefilter=True,
+    extra_arguments=(),
+    extra_keywords=None,
+    *,
+    allow_float32=True,
+):
+    """Arbitrary coordinate transform via a Python callback (scipy
+    parity; beyond the reference's surface).
+
+    ``mapping(output_index, *extra_arguments, **extra_keywords)``
+    returns the input coordinate for each output index.  Like scipy,
+    the callback runs per output point on the host; the resulting
+    coordinate field then feeds the device-side
+    :func:`map_coordinates` gather, so the interpolation itself is
+    still one fused device computation.
+    """
+    x = jnp.asarray(input)
+    if output_shape is None:
+        output_shape = x.shape
+    output_shape = tuple(int(s) for s in output_shape)
+    if extra_keywords is None:
+        extra_keywords = {}
+    coords = np.empty((x.ndim,) + output_shape, dtype=np.float64)
+    for idx in np.ndindex(*output_shape):
+        coords[(slice(None),) + idx] = mapping(
+            idx, *extra_arguments, **extra_keywords
+        )
+    return map_coordinates(
+        x, jnp.asarray(coords), output, order, mode, cval, prefilter,
         allow_float32=allow_float32,
     )

@@ -49,6 +49,7 @@ __all__ = [
     "histogram",
     "labeled_comprehension",
     "find_objects",
+    "value_indices",
 ]
 
 
@@ -656,3 +657,31 @@ def find_objects(input, max_label=0):
                 )
             )
     return result
+
+
+def value_indices(arr, *, ignore_value=None):
+    """Dict mapping each distinct value to its index arrays (scipy >=
+    1.10 parity; beyond the reference's scipy era).
+
+    One device sort groups all positions (XLA sort replaces scipy's
+    C histogram pass); the final dict of numpy index arrays is host
+    data by construction, matching scipy's return type.
+    """
+    a = jnp.asarray(arr)
+    if a.dtype.kind not in "iu":
+        raise ValueError(
+            "Parameter 'arr' must be an integer array"
+        )
+    flat = a.ravel()
+    order = np.asarray(jnp.argsort(flat, stable=True))
+    svals = np.asarray(flat)[order]
+    # group boundaries on the sorted values
+    uniq, starts = np.unique(svals, return_index=True)
+    out = {}
+    bounds = list(starts) + [svals.size]
+    for i, v in enumerate(uniq):
+        if ignore_value is not None and v == ignore_value:
+            continue
+        idx = np.sort(order[bounds[i]:bounds[i + 1]])
+        out[v] = np.unravel_index(idx, a.shape)
+    return out

@@ -489,3 +489,43 @@ def test_array_map_getitem():
     # len is one more than the max remapped label (reference
     # _map_array.py:139-141)
     assert len(amap) == 8
+
+
+def test_value_indices_vs_scipy():
+    rng = np.random.RandomState(131)
+    a = (rng.rand(6, 7) * 4).astype(np.int32)
+    got = ndi.value_indices(jnp.asarray(a))
+    exp = sndi.value_indices(a)
+    assert sorted(got) == sorted(exp)
+    for k in exp:
+        for gi, ei in zip(got[k], exp[k]):
+            np.testing.assert_array_equal(gi, ei)
+    got = ndi.value_indices(jnp.asarray(a), ignore_value=1)
+    assert 1 not in got
+    with pytest.raises(ValueError):
+        ndi.value_indices(jnp.asarray(a.astype(np.float64)))
+
+
+def test_geometric_transform_vs_scipy():
+    x = np.arange(20.0).reshape(4, 5)
+
+    def mapping(out):
+        return (out[0] - 0.7, out[1] + 0.4)
+
+    for order in (0, 1, 3):
+        got = np.asarray(ndi.geometric_transform(jnp.asarray(x), mapping,
+                                                 order=order))
+        exp = sndi.geometric_transform(x, mapping, order=order)
+        np.testing.assert_allclose(got, exp, atol=1e-8)
+
+    def mapping2(out, dy, dx=0.0):
+        return (out[0] - dy, out[1] - dx)
+
+    got = np.asarray(ndi.geometric_transform(
+        jnp.asarray(x), mapping2, output_shape=(3, 7), order=1,
+        mode="nearest", extra_arguments=(0.5,),
+        extra_keywords={"dx": 1.5}))
+    exp = sndi.geometric_transform(
+        x, mapping2, output_shape=(3, 7), order=1, mode="nearest",
+        extra_arguments=(0.5,), extra_keywords={"dx": 1.5})
+    np.testing.assert_allclose(got, exp, atol=1e-12)
