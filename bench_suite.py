@@ -94,6 +94,23 @@ def _warm_ms(fn, reps=3, n1=1, n2=5):
 
 
 def emit(name, ms, nbytes=None):
+    if callable(ms):
+        # run the timing thunk guarded: a platform gap (e.g. the axon
+        # dev relay rejects every complex-dtype op with UNIMPLEMENTED)
+        # must skip the one case, not abort the suite
+        try:
+            ms = ms()
+        except Exception as e:  # pragma: no cover - platform dependent
+            print(
+                json.dumps(
+                    {
+                        "metric": name,
+                        "skipped": f"{type(e).__name__}: {str(e)[:120]}",
+                    }
+                ),
+                flush=True,
+            )
+            return
     rec = {"metric": name, "value": round(ms, 4), "unit": "ms"}
     if nbytes:
         rec["GBps"] = round(nbytes / 1e9 / (ms / 1e3), 1)
@@ -114,26 +131,26 @@ def main():
 
     # --- separable suite -------------------------------------------------
     emit("uniform_3d_256c_s5",
-         _slope_ms(lambda v: ndi.uniform_filter(v, 5), vol), nb3)
+         lambda: _slope_ms(lambda v: ndi.uniform_filter(v, 5), vol), nb3)
     emit("gaussian_3d_256c_sig2",
-         _slope_ms(lambda v: ndi.gaussian_filter(v, 2.0), vol), nb3)
+         lambda: _slope_ms(lambda v: ndi.gaussian_filter(v, 2.0), vol), nb3)
     emit("sobel_3d_256c",
-         _slope_ms(lambda v: ndi.sobel(v, axis=0), vol), nb3)
+         lambda: _slope_ms(lambda v: ndi.sobel(v, axis=0), vol), nb3)
     emit("uniform_2d_4096_s7",
-         _slope_ms(lambda v: ndi.uniform_filter(v, 7), img), nb2)
+         lambda: _slope_ms(lambda v: ndi.uniform_filter(v, 7), img), nb2)
     emit("gaussian_2d_4096_sig3",
-         _slope_ms(lambda v: ndi.gaussian_filter(v, 3.0), img), nb2)
+         lambda: _slope_ms(lambda v: ndi.gaussian_filter(v, 3.0), img), nb2)
     emit("prewitt_2d_4096",
-         _slope_ms(lambda v: ndi.prewitt(v, axis=0), img), nb2)
+         lambda: _slope_ms(lambda v: ndi.prewitt(v, axis=0), img), nb2)
     emit("laplace_2d_4096",
-         _slope_ms(lambda v: ndi.laplace(v), img), nb2)
+         lambda: _slope_ms(lambda v: ndi.laplace(v), img), nb2)
 
     # --- dense (non-separable) stencils -----------------------------------
     for k in (7, 15):
         kd = jnp.asarray(rng.randn(k, k).astype(np.float32))
         emit(
             f"correlate_dense_2d_4096_k{k}",
-            _slope_ms(
+            lambda: _slope_ms(
                 lambda v, kd=kd: ndi.correlate(
                     v, kd, mode="reflect", dtype_mode="float"
                 ),
@@ -144,27 +161,27 @@ def main():
 
     # --- morphology + rank suite -----------------------------------------
     emit("minimum_3d_256c_s5",
-         _slope_ms(lambda v: ndi.minimum_filter(v, 5), vol), nb3)
+         lambda: _slope_ms(lambda v: ndi.minimum_filter(v, 5), vol), nb3)
     emit("maximum_2d_4096_s9",
-         _slope_ms(lambda v: ndi.maximum_filter(v, 9), img), nb2)
+         lambda: _slope_ms(lambda v: ndi.maximum_filter(v, 9), img), nb2)
     emit("median_2d_4096_s3",
-         _slope_ms(lambda v: ndi.median_filter(v, 3), img), nb2)
+         lambda: _slope_ms(lambda v: ndi.median_filter(v, 3), img), nb2)
     emit("median_2d_4096_s5",
-         _slope_ms(lambda v: ndi.median_filter(v, 5), img), nb2)
+         lambda: _slope_ms(lambda v: ndi.median_filter(v, 5), img), nb2)
     bin_img = img > 0
     emit("binary_erosion_2d_4096",
-         _slope_ms(lambda v: ndi.binary_erosion(v), bin_img), nb2 // 4)
+         lambda: _slope_ms(lambda v: ndi.binary_erosion(v), bin_img), nb2 // 4)
     emit("grey_erosion_2d_4096_s5",
-         _slope_ms(lambda v: ndi.grey_erosion(v, size=5), img), nb2)
+         lambda: _slope_ms(lambda v: ndi.grey_erosion(v, size=5), img), nb2)
     emit("binary_opening_2d_4096",
-         _slope_ms(lambda v: ndi.binary_opening(v), bin_img), nb2 // 4)
+         lambda: _slope_ms(lambda v: ndi.binary_opening(v), bin_img), nb2 // 4)
     emit("grey_opening_2d_4096_s5",
-         _slope_ms(lambda v: ndi.grey_opening(v, size=5), img), nb2)
+         lambda: _slope_ms(lambda v: ndi.grey_opening(v, size=5), img), nb2)
     emit("percentile_filter_2d_4096_p30_s5",
-         _slope_ms(lambda v: ndi.percentile_filter(v, 30, size=5), img),
+         lambda: _slope_ms(lambda v: ndi.percentile_filter(v, 30, size=5), img),
          nb2)
     emit("median_3d_256c_s3",
-         _slope_ms(lambda v: ndi.median_filter(v, 3), vol), nb3)
+         lambda: _slope_ms(lambda v: ndi.median_filter(v, 3), vol), nb3)
 
     # --- interpolation / warping suite ------------------------------------
     mat = np.array([[0.9, 0.1], [-0.1, 0.9]], np.float32)
@@ -172,7 +189,7 @@ def main():
         # Pallas one-hot sampler: cheap enough to slope-time now
         emit(
             f"affine_2d_4096_order{order}",
-            _slope_ms(
+            lambda: _slope_ms(
                 lambda v, o=order: ndi.affine_transform(
                     v, mat, order=o, mode="nearest", prefilter=False
                 ),
@@ -184,7 +201,7 @@ def main():
     dmat = np.array([[1.1, 0.0], [0.0, 0.9]], np.float32)
     emit(
         "affine_diag_2d_4096_order1",
-        _slope_ms(
+        lambda: _slope_ms(
             lambda v: ndi.affine_transform(
                 v, dmat, order=1, mode="nearest", prefilter=False
             ),
@@ -193,15 +210,15 @@ def main():
         nb2,
     )
     emit("zoom_keep_2d_4096_order1",
-         _slope_ms(lambda v: ndi.zoom(v, 1.0, order=1), img,
+         lambda: _slope_ms(lambda v: ndi.zoom(v, 1.0, order=1), img,
                    n1=1, n2=6))
     emit("spline_filter_2d_4096_ord3",
-         _slope_ms(lambda v: ndi.spline_filter(v, order=3), img), nb2)
+         lambda: _slope_ms(lambda v: ndi.spline_filter(v, order=3), img), nb2)
     # boundary-mode sweep (BASELINE config group 2: "all modes")
     for bmode in ("mirror", "nearest", "constant", "wrap"):
         emit(
             f"gaussian_2d_4096_sig3_{bmode}",
-            _slope_ms(
+            lambda: _slope_ms(
                 lambda v, m=bmode: ndi.gaussian_filter(v, 3.0, mode=m),
                 img,
             ),
@@ -210,32 +227,38 @@ def main():
     # order-5 spline + complex interpolation (config group 4)
     emit(
         "shift_2d_4096_order5",
-        _slope_ms(
+        lambda: _slope_ms(
             lambda v: ndi.shift(v, (2.3, -1.7), order=5, mode="reflect"),
             img, n1=1, n2=6,
         ),
         nb2,
     )
-    cimg = (img[:2048, :2048]
-            + 1j * img[2048:, 2048:]).astype(jnp.complex64)
+    def _cimg():
+        # complex construction is itself a device op; build it inside
+        # the guarded thunk (the axon dev relay has no complex support)
+        c = (img[:2048, :2048]
+             + 1j * img[2048:, 2048:]).astype(jnp.complex64)
+        jax.block_until_ready(c)
+        return c
+
     emit(
         "shift_complex_2d_2048_order3",
-        _slope_ms(
+        lambda: _slope_ms(
             lambda v: ndi.shift(v, (1.3, -0.7), order=3, mode="reflect"),
-            cimg, n1=1, n2=6,
+            _cimg(), n1=1, n2=6,
         ),
-        cimg.size * 8 * 2,
+        2048 * 2048 * 8 * 2,
     )
     emit(
         "zoom_complex_2d_2048_order1",
-        _slope_ms(
-            lambda v: ndi.zoom(v, 1.0, order=1), cimg, n1=1, n2=6,
+        lambda: _slope_ms(
+            lambda v: ndi.zoom(v, 1.0, order=1), _cimg(), n1=1, n2=6,
         ),
-        cimg.size * 8 * 2,
+        2048 * 2048 * 8 * 2,
     )
     emit(
         "rotate_3d_256c_order1",
-        _slope_ms(
+        lambda: _slope_ms(
             lambda v: ndi.rotate(
                 v, 17.0, axes=(1, 2), reshape=False, order=1,
                 mode="nearest", prefilter=False,
@@ -246,7 +269,7 @@ def main():
     )
     coords3 = jnp.mgrid[0:128, 0:128, 0:128].astype(jnp.float32) + 0.37
     emit("map_coords_3d_128c_order1",
-         _slope_ms(lambda v: ndi.map_coordinates(v, coords3, order=1),
+         lambda: _slope_ms(lambda v: ndi.map_coordinates(v, coords3, order=1),
                    vol[:128, :128, :128], n1=1, n2=6))
     # smooth 2-D dense warp -> locality-adaptive one-hot gather
     _rr, _cc = np.mgrid[0:2048, 0:2048].astype(np.float32)
@@ -259,7 +282,7 @@ def main():
         # sync-free and jittable, so the warp cases slope-time now
         emit(
             f"map_coords_2d_2048_warp_order{order}",
-            _slope_ms(
+            lambda: _slope_ms(
                 lambda v, o=order: ndi.map_coordinates(
                     v, warp_coords, order=o, mode="reflect",
                 ),
@@ -270,22 +293,22 @@ def main():
     # --- FFT / signal suite ------------------------------------------------
     k2 = jnp.asarray(rng.randn(31, 31).astype(np.float32))
     emit("fftconvolve_2d_4096_k31",
-         _slope_ms(lambda v: signal.fftconvolve(v, k2, mode="same"),
+         lambda: _slope_ms(lambda v: signal.fftconvolve(v, k2, mode="same"),
                    img, n1=2, n2=8), nb2)
     emit("oaconvolve_2d_4096_k31",
-         _slope_ms(lambda v: signal.oaconvolve(v, k2, mode="same"),
+         lambda: _slope_ms(lambda v: signal.oaconvolve(v, k2, mode="same"),
                    img, n1=2, n2=8), nb2)
     sig = jnp.asarray(rng.randn(1 << 20).astype(np.float32))
     h = jnp.asarray(rng.randn(101).astype(np.float32))
     long1d = jnp.asarray(rng.randn(1 << 22).astype(np.float32))
     h257 = jnp.asarray(rng.randn(257).astype(np.float32))
     emit("oaconvolve_1d_4M_k257",
-         _warm_ms(lambda: signal.oaconvolve(long1d, h257, mode="same"),
+         lambda: _warm_ms(lambda: signal.oaconvolve(long1d, h257, mode="same"),
                   reps=3))
     emit("upfirdn_1M_h101_up2_down3",
-         _warm_ms(lambda: signal.upfirdn(h, sig, up=2, down=3)))
+         lambda: _warm_ms(lambda: signal.upfirdn(h, sig, up=2, down=3)))
     emit("resample_poly_1M_2_3",
-         _warm_ms(lambda: signal.resample_poly(sig, 2, 3)))
+         lambda: _warm_ms(lambda: signal.resample_poly(sig, 2, 3)))
 
     # --- registration / restoration suite ---------------------------------
     a = jnp.asarray(rng.randn(1024, 1024).astype(np.float32))
@@ -299,17 +322,17 @@ def main():
             v, b, upsample_factor=10)
         return v + (sh[0] + err).astype(v.dtype) * np.float32(1e-20)
 
-    emit("phase_cross_corr_1024_up10", _slope_ms(_pcc_step, a,
+    emit("phase_cross_corr_1024_up10", lambda: _slope_ms(_pcc_step, a,
                                                  n1=1, n2=6))
     psf = jnp.ones((5, 5), jnp.float32) / 25
     small = jnp.clip(a[:512, :512] * 0.1 + 0.5, 0, 1)
     emit("richardson_lucy_512_it10",
-         _slope_ms(lambda v: restoration.richardson_lucy(
+         lambda: _slope_ms(lambda v: restoration.richardson_lucy(
              v, psf, iterations=10, clip=False) * np.float32(0.99)
              + np.float32(0.005),
              small, n1=1, n2=6))
     emit("wiener_hunt_1024",
-         _slope_ms(lambda v: restoration.wiener(
+         lambda: _slope_ms(lambda v: restoration.wiener(
              v, psf, 0.1, clip=False) * np.float32(1e-3),
              a, n1=1, n2=6))
 

@@ -109,7 +109,11 @@ def gtg_plan(matrix, order, out_shape):
         return None  # inversion multiplicity > 2: one-hot path handles
     np_passes = 1 if abs(a00) >= 1.0 else 2
     ntaps = order + 1 if order > 0 else 1
-    for ti in (64, 32, 16, 8):
+    # Larger output tiles amortize the tile-fixed A/B-stage work (the
+    # A-stage always sweeps the full slab-row grid and the B-stage a
+    # full 128x128 point grid), so prefer the largest TI whose source
+    # span still fits the slab budget.
+    for ti in (112, 96, 80, 64, 48, 32, 16, 8):
         span0 = abs(a00) * (ti - 1) + abs(a01) * (_LANES - 1) + ntaps - 1
         span1 = abs(a10) * (ti - 1) + abs(a11) * (_LANES - 1) + ntaps - 1
         # row budget: 128 slab rows minus 8-align slack and safety;
