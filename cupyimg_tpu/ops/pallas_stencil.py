@@ -12,10 +12,14 @@ is bandwidth-bound for exactly this reason).
 
 Boundary handling: the input is pre-padded with the ndimage mode in a
 single fused ``boundary.pad`` (one HBM round trip) that also covers the
-grid tail and lane alignment, so the kernel only ever reads in-bounds.
-(A lane-halo-free variant using in-kernel ``pltpu.roll`` was measured
-2.7x slower — lane rotations are expensive on the VPU — so the lane
-axis keeps its halo, rounded up to full 128-lane tiles.)
+grid tail and sublane alignment, so the kernel only ever reads
+in-bounds.  The lane axis is special: a leading lane pad shifts every
+128-lane tile (a misaligned whole-array HBM copy that measured ~2x the
+kernel time for 3-D min filters), so the lo-halo columns are instead
+stored at the END of the aligned lane extent and each kernel restores
+the shifted layout with ONE static in-VMEM ``pltpu.roll`` per slab.
+(Per-tap in-kernel rolls — one per slice — were measured 2.7x slower;
+a single roll per slab amortizes to noise.)
 """
 
 from __future__ import annotations
@@ -124,6 +128,48 @@ def _axis_apply(spec, get_slice):
     return acc
 
 
+def _axis_minmax_log(kind, size, arr, axis, out_len):
+    """Running min/max over a ``size`` window along ``axis`` in
+    O(log size) shifted-slice ops (min/max windows may overlap, so
+    window ``n`` folds as op(window ``p``, window ``p`` shifted by
+    ``n - p``) for any power of two ``p >= n/2`` — each unaligned
+    lane/sublane slice costs one VPU rotation, which dominates the
+    separable morphology kernels)."""
+    op = jnp.minimum if kind == "min" else jnp.maximum
+
+    def sl(a, k, ln):
+        idx = [slice(None)] * a.ndim
+        idx[axis] = slice(k, k + ln)
+        return a[tuple(idx)]
+
+    m = sl(arr, 0, out_len + size - 1)  # window 1
+    w = 1
+    while 2 * w <= size:
+        ln = m.shape[axis] - w
+        m = op(sl(m, 0, ln), sl(m, w, ln))
+        w *= 2
+    if w < size:
+        d = size - w  # <= w, overlapping final fold
+        ln = m.shape[axis] - d
+        m = op(sl(m, 0, ln), sl(m, d, ln))
+    return m
+
+
+def _axis_apply_arr(spec, arr, axis, out_len):
+    """Like :func:`_axis_apply` but operating on the array directly so
+    min/max can use the logarithmic fold."""
+    kind, arg = spec
+    if kind != "corr":
+        return _axis_minmax_log(kind, arg, arr, axis, out_len)
+
+    def get_slice(k):
+        idx = [slice(None)] * arr.ndim
+        idx[axis] = slice(k, k + out_len)
+        return arr[tuple(idx)]
+
+    return _axis_corr(arg, get_slice)
+
+
 def _axis_corr(w, get_slice):
     """Emit the 1-D correlation sum, exploiting equal or symmetric taps
     to cut VPU multiplies (the kernel is compute-bound on the VPU for
@@ -218,11 +264,11 @@ def _make_kernel_3d_lanemm(sp0, sp1, S2, B0, B1, sl0, sl1, exact=False):
 
         x = slab[slot]
         acc = (
-            _axis_apply(sp0, lambda k: x[k : k + B0])
+            _axis_apply_arr(sp0, x, 0, B0)
             if sp0 is not None else x
         )
         acc1 = (
-            _axis_apply(sp1, lambda k: acc[:, k : k + B1])
+            _axis_apply_arr(sp1, acc, 1, B1)
             if sp1 is not None else acc
         )
         flat = acc1.reshape(B0 * B1, S2)
@@ -258,7 +304,8 @@ def _toeplitz_lane_w(taps, k_width=256):
     return W
 
 
-def _make_kernel_2d_lanemm(sp0, B0, sl0, lane_in, n_tiles, exact=False):
+def _make_kernel_2d_lanemm(sp0, B0, sl0, lane_in, n_tiles, exact=False,
+                           lane_roll=0):
     """2-D kernel: sublane-axis pass as shifted adds, lane-axis pass as
     per-tile Toeplitz matmuls on the MXU (same hi/lo bf16 3-pass split
     as the 3-D variant; ~2^-22 relative)."""
@@ -292,9 +339,9 @@ def _make_kernel_2d_lanemm(sp0, B0, sl0, lane_in, n_tiles, exact=False):
 
         dma(t, slot).wait()
 
-        x = slab[slot]
+        x = _lane_unroll(slab[slot], lane_roll, exact)
         acc = (
-            _axis_apply(sp0, lambda k: x[k : k + B0])
+            _axis_apply_arr(sp0, x, 0, B0)
             if sp0 is not None else x
         )
         if exact:
@@ -320,7 +367,23 @@ def _make_kernel_2d_lanemm(sp0, B0, sl0, lane_in, n_tiles, exact=False):
     return kernel
 
 
-def _make_kernel_3d(sp0, sp1, sp2, S2, B0, B1, sl0, sl1):
+def _lane_unroll(v, amt, interpret):
+    """Undo the circular lane layout: one static right-roll that puts
+    the lo-halo columns (stored at the end of the aligned extent) back
+    in front of the data."""
+    if not amt:
+        return v
+    if interpret:
+        return jnp.roll(v, amt, axis=-1)
+    if v.ndim > 2:
+        shp = v.shape
+        flat = v.reshape(-1, shp[-1])
+        return pltpu.roll(flat, amt, 1).reshape(shp)
+    return pltpu.roll(v, amt, v.ndim - 1)
+
+
+def _make_kernel_3d(sp0, sp1, sp2, S2, B0, B1, sl0, sl1,
+                    lane_roll=0, interpret=False):
     def kernel(x_any, out_ref, slab, sem):
         # double-buffered halo'd slab loads: kick off the next grid
         # step's DMA before waiting on this step's
@@ -357,17 +420,17 @@ def _make_kernel_3d(sp0, sp1, sp2, S2, B0, B1, sl0, sl1):
 
         dma(t, slot).wait()
 
-        x = slab[slot]
+        x = _lane_unroll(slab[slot], lane_roll, interpret)
         acc = (
-            _axis_apply(sp0, lambda k: x[k : k + B0])
+            _axis_apply_arr(sp0, x, 0, B0)
             if sp0 is not None else x
         )
         acc1 = (
-            _axis_apply(sp1, lambda k: acc[:, k : k + B1])
+            _axis_apply_arr(sp1, acc, 1, B1)
             if sp1 is not None else acc
         )
         out = (
-            _axis_apply(sp2, lambda k: acc1[:, :, k : k + S2])
+            _axis_apply_arr(sp2, acc1, 2, S2)
             if sp2 is not None else acc1
         )
         out_ref[:] = out.astype(out_ref.dtype)
@@ -375,7 +438,8 @@ def _make_kernel_3d(sp0, sp1, sp2, S2, B0, B1, sl0, sl1):
     return kernel
 
 
-def _make_kernel_2d(sp0, sp1, S1, B0, sl0):
+def _make_kernel_2d(sp0, sp1, S1, B0, sl0, lane_roll=0,
+                    interpret=False):
     def kernel(x_any, out_ref, slab, sem):
         t = jnp.asarray(pl.program_id(0), jnp.int32)
         n_t = jnp.asarray(pl.num_programs(0), jnp.int32)
@@ -400,13 +464,13 @@ def _make_kernel_2d(sp0, sp1, S1, B0, sl0):
 
         dma(t, slot).wait()
 
-        x = slab[slot]
+        x = _lane_unroll(slab[slot], lane_roll, interpret)
         acc = (
-            _axis_apply(sp0, lambda k: x[k : k + B0])
+            _axis_apply_arr(sp0, x, 0, B0)
             if sp0 is not None else x
         )
         out = (
-            _axis_apply(sp1, lambda k: acc[:, k : k + S1])
+            _axis_apply_arr(sp1, acc, 1, S1)
             if sp1 is not None else acc
         )
         out_ref[:] = out.astype(out_ref.dtype)
@@ -492,7 +556,7 @@ def _fused_separable(x, specs, origins, modes, cval, interpret):
         and specs[1] is not None
         and specs[1][0] == "corr"
         and np.dtype(dtype) == np.float32
-        and len(specs[1][1]) >= _LANE_MM2_MIN_TAPS
+        and _LANE_MM2_MIN_TAPS <= len(specs[1][1]) <= 96
     )
 
     # per-axis (lo, hi) boundary extension: scipy window convention
@@ -539,6 +603,14 @@ def _fused_separable(x, specs, origins, modes, cval, interpret):
     # alignment.  Tail values are never written to the output, so
     # extending them with the boundary mode is harmless — a single
     # jnp.pad materialization instead of one HBM round trip per axis.
+    #
+    # The lane axis never gets a leading pad: a lane lo-shift moves
+    # every 128-lane tile (a misaligned whole-array copy, measured at
+    # ~2x the kernel's own time for 3-D min filters).  Instead the
+    # left-halo columns are stored at the END of the aligned lane
+    # extent ([.. x | hi-halo | zero gap | lo-halo]) and each kernel
+    # restores the shifted layout with one static in-VMEM lane roll.
+    lane_circ = not lane_mm and (lane_lo > 0 or lane_hi > 0)
     grid = []
     total_pads = list(pads)
     for ax, b in enumerate(blocks):
@@ -547,9 +619,12 @@ def _fused_separable(x, specs, origins, modes, cval, interpret):
         target = (g - 1) * b + slabs[ax]
         lo, hi = total_pads[ax]
         total_pads[ax] = (lo, max(hi, target - shape[ax] - lo))
-    total_pads[-1] = (
-        lane_lo, lane_hi + lane - (shape[-1] + lane_lo + lane_hi)
-    )
+    if lane_circ:
+        total_pads[-1] = (0, 0)
+    else:
+        total_pads[-1] = (
+            lane_lo, lane_hi + lane - (shape[-1] + lane_lo + lane_hi)
+        )
 
     active_modes = {
         modes[ax]
@@ -565,7 +640,7 @@ def _fused_separable(x, specs, origins, modes, cval, interpret):
     else:
         xp = x
         for ax in range(ndim):
-            if pads[ax] == (0, 0):
+            if pads[ax] == (0, 0) or (lane_circ and ax == ndim - 1):
                 continue
             pw = [(0, 0)] * ndim
             pw[ax] = pads[ax]
@@ -574,8 +649,42 @@ def _fused_separable(x, specs, origins, modes, cval, interpret):
             (0, tp[0] + tp[1] - pd[0] - pd[1])
             for tp, pd in zip(total_pads, pads)
         ]
+        if lane_circ:
+            tail[-1] = (0, 0)
         if any(hi for _, hi in tail):
             xp = jnp.pad(xp, tail)
+
+    if lane_circ:
+        W = shape[-1]
+        gap = lane - (W + lane_lo + lane_hi)
+        parts = [xp]
+        lmode = modes[-1]
+        if lane_hi:
+            idx, oob = boundary.map_indices_np(
+                np.arange(W, W + lane_hi), W, lmode
+            )
+            strip = jnp.take(xp, jnp.asarray(idx), axis=ndim - 1)
+            if oob.any():
+                strip = jnp.where(
+                    jnp.asarray(oob), jnp.asarray(cval, dtype), strip
+                )
+            parts.append(strip)
+        if gap:
+            gshape = list(xp.shape)
+            gshape[-1] = gap
+            parts.append(jnp.zeros(gshape, dtype))
+        if lane_lo:
+            idx, oob = boundary.map_indices_np(
+                np.arange(-lane_lo, 0), W, lmode
+            )
+            strip = jnp.take(xp, jnp.asarray(idx), axis=ndim - 1)
+            if oob.any():
+                strip = jnp.where(
+                    jnp.asarray(oob), jnp.asarray(cval, dtype), strip
+                )
+            parts.append(strip)
+        xp = jnp.concatenate(parts, axis=ndim - 1)
+    lane_roll = lane_lo if lane_circ else 0
 
     if ndim == 3 and lane_mm:
         B0, B1 = blocks
@@ -623,6 +732,7 @@ def _fused_separable(x, specs, origins, modes, cval, interpret):
         kernel = _make_kernel_3d(
             specs[0], specs[1], specs[2], shape[2],
             B0, B1, slabs[0], slabs[1],
+            lane_roll=lane_roll, interpret=interpret,
         )
         out = pl.pallas_call(
             kernel,
@@ -652,7 +762,8 @@ def _fused_separable(x, specs, origins, modes, cval, interpret):
         n_tiles = lane_out2 // 128
         W = _toeplitz_lane_w(specs[1][1])
         kernel = _make_kernel_2d_lanemm(
-            specs[0], B0, slabs[0], lane, n_tiles, exact=interpret
+            specs[0], B0, slabs[0], lane, n_tiles, exact=interpret,
+            lane_roll=lane_roll,
         )
         out = pl.pallas_call(
             kernel,
@@ -682,7 +793,8 @@ def _fused_separable(x, specs, origins, modes, cval, interpret):
     else:
         (B0,) = blocks
         kernel = _make_kernel_2d(
-            specs[0], specs[1], shape[1], B0, slabs[0]
+            specs[0], specs[1], shape[1], B0, slabs[0],
+            lane_roll=lane_roll, interpret=interpret,
         )
         out = pl.pallas_call(
             kernel,
@@ -758,10 +870,22 @@ def _group_taps_by_row(taps):
     return sorted(rows.items())
 
 
+def _group_taps_by_col(taps):
+    """taps [(idx..., w)] -> [(kj, [(leading-idx..., w)])] in column
+    order (2-D only)."""
+    cols = {}
+    for (ki, kj), w in taps:
+        cols.setdefault(kj, []).append((ki, w))
+    return sorted(cols.items())
+
+
 def _make_dense_kernel_2d(taps, S1, B0, sl0):
-    """2-D dense stencil: per row tap, a lane-tap correlation over the
-    row-shifted strip, accumulated (zero taps already dropped)."""
-    rows = _group_taps_by_row(taps)
+    """2-D dense stencil, taps grouped by COLUMN offset: each distinct
+    kj costs ONE unaligned lane slice of the slab (a VPU lane
+    rotation), then every row tap on that column is a sublane-offset
+    FMA.  Row grouping paid one lane rotation per nonzero tap (49 for
+    a 7x7 kernel) and ran 4x slower than this layout on v5e."""
+    cols = _group_taps_by_col(taps)
 
     def kernel(x_any, out_ref, slab, sem):
         t = jnp.asarray(pl.program_id(0), jnp.int32)
@@ -787,16 +911,16 @@ def _make_dense_kernel_2d(taps, S1, B0, sl0):
 
         dma(t, slot).wait()
         x = slab[slot]
-        # accumulate through out_ref per row tap: an unmaterialized
+        # accumulate through out_ref per column tap: an unmaterialized
         # chain over many taps lets the Mosaic scheduler hoist every
-        # lane-shifted slice at once (961 taps spilled 165+ MB of
-        # vregs); the ref round-trip bounds the live set per row
+        # shifted slice at once (961 taps spilled 165+ MB of vregs);
+        # the ref round-trip bounds the live set per column
         first = True
-        for ki, lane_taps in rows:
-            strip = x[ki : ki + B0]
+        for kj, row_taps in cols:
+            strip = x[:, kj : kj + S1]
             part = None
-            for (kj,), w in lane_taps:
-                term = w * strip[:, kj : kj + S1]
+            for ki, w in row_taps:
+                term = w * strip[ki : ki + B0]
                 part = term if part is None else part + term
             if first:
                 out_ref[:] = part.astype(out_ref.dtype)
