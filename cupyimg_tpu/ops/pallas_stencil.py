@@ -610,7 +610,7 @@ def _fused_separable(x, specs, origins, modes, cval, interpret):
     # left-halo columns are stored at the END of the aligned lane
     # extent ([.. x | hi-halo | zero gap | lo-halo]) and each kernel
     # restores the shifted layout with one static in-VMEM lane roll.
-    lane_circ = not lane_mm and (lane_lo > 0 or lane_hi > 0)
+    lane_circ = (ndim == 3 and not lane_mm) and (lane_lo > 0 or lane_hi > 0)
     grid = []
     total_pads = list(pads)
     for ax, b in enumerate(blocks):
