@@ -37,10 +37,12 @@ from cupyimg_tpu.core import boundary
 
 __all__ = [
     "fused_dense_correlate",
+    "fused_rank_filter",
     "fused_separable_correlate",
     "fused_separable_minmax",
     "supports",
     "supports_dense",
+    "supports_rank",
 ]
 
 # raise Mosaic's scoped-VMEM ceiling from the 16 MiB default — v5e has
@@ -1242,3 +1244,266 @@ def _fused_dense(x, taps, wshape, origins, mode, cval, interpret):
         interpret=interpret,
     )(xp)
     return out[: shape[0], : shape[1]]
+
+
+# ---------------------------------------------------------------------------
+# rank / median filters (pruned sorting network in the fused slab)
+# ---------------------------------------------------------------------------
+
+# rank networks need every window tap live at once; bound the unroll
+_MAX_RANK_TAPS = 64
+
+
+def supports_rank(x, filter_size, interpret=False):
+    """Whether the fused Pallas rank path applies (reference rank
+    kernels: cupyimg/scipy/ndimage/filters.py:1510-1848)."""
+    if not interpret and jax.default_backend() != "tpu":
+        return False
+    dt = np.dtype(x.dtype)
+    if dt.kind not in "fi" or dt.itemsize != 4:
+        return False
+    if x.ndim not in (2, 3):
+        return False
+    if filter_size < 3 or filter_size > _MAX_RANK_TAPS:
+        return False
+    if not interpret and x.size < (1 << 20):
+        return False
+    return True
+
+
+def _make_rank_kernel_2d(taps, rank, S1, B0, sl0):
+    """2-D rank kernel: one lane rotation per distinct column offset,
+    sublane-offset views per row tap, then the rank-pruned Batcher
+    network (ops/sorting_networks.py) over the tap values in VMEM."""
+    from cupyimg_tpu.ops.sorting_networks import rank_select
+
+    cols = _group_taps_by_col(tuple((idx, 1.0) for idx in taps))
+
+    def kernel(x_any, out_ref, slab, sem):
+        t = jnp.asarray(pl.program_id(0), jnp.int32)
+        n_t = jnp.asarray(pl.num_programs(0), jnp.int32)
+        two = jnp.asarray(2, t.dtype)
+        slot = jax.lax.rem(t, two)
+        next_slot = jax.lax.rem(t + 1, two)
+
+        def dma(tt, sl):
+            return pltpu.make_async_copy(
+                x_any.at[pl.ds(tt * B0, sl0), :],
+                slab.at[sl],
+                sem.at[sl],
+            )
+
+        @pl.when(t == 0)
+        def _():
+            dma(t, slot).start()
+
+        @pl.when(t + 1 < n_t)
+        def _():
+            dma(t + 1, next_slot).start()
+
+        dma(t, slot).wait()
+        x = slab[slot]
+        vals = []
+        for kj, row_taps in cols:
+            strip = x[:, kj : kj + S1]
+            for ki, _ in row_taps:
+                vals.append(strip[ki : ki + B0])
+        out_ref[:] = rank_select(vals, rank).astype(out_ref.dtype)
+
+    return kernel
+
+
+def _make_rank_kernel_3d(taps, rank, S2, B0, B1, sl0, sl1):
+    from cupyimg_tpu.ops.sorting_networks import rank_select
+
+    lanes = {}
+    for (k0, k1, k2) in taps:
+        lanes.setdefault(k2, []).append((k0, k1))
+    lane_groups = sorted(lanes.items())
+
+    def kernel(x_any, out_ref, slab, sem):
+        i32 = lambda v: jnp.asarray(v, jnp.int32)  # noqa: E731
+        i = i32(pl.program_id(0))
+        j = i32(pl.program_id(1))
+        g1 = i32(pl.num_programs(1))
+        t = i * g1 + j
+        n_t = i32(pl.num_programs(0)) * g1
+        two = jnp.asarray(2, t.dtype)
+        slot = jax.lax.rem(t, two)
+        next_slot = jax.lax.rem(t + 1, two)
+
+        def dma(tt, sl):
+            ii = jnp.asarray(jax.lax.div(tt, g1), jnp.int32)
+            jj = jnp.asarray(jax.lax.rem(tt, g1), jnp.int32)
+            return pltpu.make_async_copy(
+                x_any.at[
+                    pl.ds(ii * B0, sl0), pl.ds(jj * B1, sl1), :
+                ],
+                slab.at[sl],
+                sem.at[sl],
+            )
+
+        @pl.when(t == 0)
+        def _():
+            dma(t, slot).start()
+
+        @pl.when(t + 1 < n_t)
+        def _():
+            dma(t + 1, next_slot).start()
+
+        dma(t, slot).wait()
+        x = slab[slot]
+        vals = []
+        for k2, subs in lane_groups:
+            strip = x[:, :, k2 : k2 + S2]
+            for k0, k1 in subs:
+                vals.append(strip[k0 : k0 + B0, k1 : k1 + B1])
+        out_ref[:] = rank_select(vals, rank).astype(out_ref.dtype)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "taps", "wshape", "rank", "origins", "mode", "cval", "interpret",
+    ),
+)
+def _fused_rank(x, taps, wshape, rank, origins, mode, cval, interpret):
+    ndim = x.ndim
+    dtype = x.dtype
+    shape = x.shape
+
+    pads = []
+    halos = []
+    for ax in range(ndim):
+        size = wshape[ax]
+        lo = size // 2 + origins[ax]
+        hi = size - 1 - lo
+        if lo < 0 or hi < 0:
+            raise ValueError("rank path requires in-window origins")
+        pads.append((lo, hi))
+        halos.append(size - 1)
+
+    lane_lo, lane_hi = pads[-1]
+    lane = _round_up(shape[-1] + lane_lo + lane_hi, 128)
+    blocks = _choose_blocks(
+        shape, halos, lane, np.dtype(dtype).itemsize
+    )
+    # every tap value is live through the network: bound the live set
+    # (ntaps * block bytes) so Mosaic spills stay inside VMEM scratch
+    nt = len(taps)
+    if ndim == 2:
+        while nt * blocks[0] * lane * 4 > 24 * (1 << 20) and blocks[0] > 8:
+            blocks[0] //= 2
+    else:
+        while (
+            nt * blocks[0] * blocks[1] * lane * 4 > 24 * (1 << 20)
+            and blocks[1] > 8
+        ):
+            blocks[1] //= 2
+
+    slabs = []
+    for ax, b in enumerate(blocks):
+        ext = b + halos[ax]
+        if ax == ndim - 2:
+            ext = _round_up(ext, 8)
+        slabs.append(ext)
+
+    grid = []
+    total_pads = list(pads)
+    for ax, b in enumerate(blocks):
+        g = math.ceil(shape[ax] / b)
+        grid.append(g)
+        target = (g - 1) * b + slabs[ax]
+        lo, hi = total_pads[ax]
+        total_pads[ax] = (lo, max(hi, target - shape[ax] - lo))
+    total_pads[-1] = (
+        lane_lo, lane_hi + lane - (shape[-1] + lane_lo + lane_hi)
+    )
+
+    max_rel_pad = max(
+        max(pd) / shape[ax] for ax, pd in enumerate(total_pads)
+    )
+    if max_rel_pad < 1.0:
+        xp = boundary.pad(x, total_pads, mode, cval)
+    else:
+        xp = boundary.pad(x, pads, mode, cval)
+        tail = [
+            (0, tp[0] + tp[1] - pd[0] - pd[1])
+            for tp, pd in zip(total_pads, pads)
+        ]
+        if any(hi for _, hi in tail):
+            xp = jnp.pad(xp, tail)
+
+    if ndim == 3:
+        B0, B1 = blocks
+        kernel = _make_rank_kernel_3d(
+            taps, rank, shape[2], B0, B1, slabs[0], slabs[1]
+        )
+        out = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct(
+                (grid[0] * B0, grid[1] * B1, shape[2]), dtype
+            ),
+            grid=(grid[0], grid[1]),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec(
+                (B0, B1, shape[2]),
+                lambda i, j: (i, j, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((2, slabs[0], slabs[1], lane), dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary", "arbitrary"),
+                vmem_limit_bytes=_VMEM_LIMIT,
+            ),
+            interpret=interpret,
+        )(xp)
+        return out[: shape[0], : shape[1], : shape[2]]
+
+    (B0,) = blocks
+    kernel = _make_rank_kernel_2d(taps, rank, shape[1], B0, slabs[0])
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(
+            (grid[0] * B0, shape[1]), dtype
+        ),
+        grid=(grid[0],),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(
+            (B0, shape[1]), lambda i: (i, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, slabs[0], lane), dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+        interpret=interpret,
+    )(xp)
+    return out[: shape[0], : shape[1]]
+
+
+def fused_rank_filter(x, footprint, origins, rank, mode, cval=0.0,
+                      interpret=False):
+    """Rank filter in one fused Pallas pass: halo'd slab DMA + the
+    rank-pruned Batcher min/max network in VMEM (TPU-native equivalent
+    of the reference's rank kernels with optimal median networks,
+    cupyimg/scipy/ndimage/filters.py:1779-1848 and
+    _filters_optimal_medians.py)."""
+    footprint = np.asarray(footprint, bool)
+    taps = tuple(
+        tuple(int(v) for v in idx) for idx in np.argwhere(footprint)
+    )
+    return _fused_rank(
+        x, taps, footprint.shape, int(rank),
+        tuple(int(o) for o in origins), str(mode), float(cval),
+        bool(interpret),
+    )

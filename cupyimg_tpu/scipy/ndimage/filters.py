@@ -1012,6 +1012,18 @@ def _rank_filter(
             input, None, footprint, None, output, mode, cval, origins, False
         )
     if filter_size <= 64:
+        from cupyimg_tpu.ops import pallas_stencil as _ps
+
+        if (
+            _ps.supports_rank(input, filter_size)
+            and np.dtype(out_dtype) == np.dtype(input.dtype)
+        ):
+            # fused Pallas pass: slab DMA + rank-pruned Batcher network
+            # in VMEM (one HBM round trip instead of an XLA fusion that
+            # re-reads the array per shifted operand)
+            return _ps.fused_rank_filter(
+                input, footprint, origins, rank, mode, cval
+            )
         # pruned sorting network over shifted slices: XLA fuses the
         # min/max DAG into one elementwise pass, no window tensor and
         # no generic sort (the reference's median-network strategy,
