@@ -1271,11 +1271,19 @@ def supports_rank(x, filter_size, interpret=False):
     return True
 
 
-def _make_rank_kernel_2d(taps, rank, S1, B0, sl0):
+def _make_rank_kernel_2d(taps, rank, S1, B0, sl0, rect=None):
     """2-D rank kernel: one lane rotation per distinct column offset,
-    sublane-offset views per row tap, then the rank-pruned Batcher
-    network (ops/sorting_networks.py) over the tap values in VMEM."""
-    from cupyimg_tpu.ops.sorting_networks import rank_select
+    sublane-offset views per row tap, then a rank-pruned Batcher
+    network (ops/sorting_networks.py) over the tap values in VMEM.
+
+    For full-rectangle footprints (``rect`` = (w0, w1)) the lane window
+    is fully sorted ONCE (shared by every sublane tap: the reference's
+    optimal-median trick restructured around reuse), and only the
+    pruned sorted-runs merge runs per output: a 5x5 median drops from
+    113 to 9 shared + 82 per-point compare-exchanges."""
+    from cupyimg_tpu.ops.sorting_networks import (
+        rank_select, rank_select_presorted, sort_values,
+    )
 
     cols = _group_taps_by_col(tuple((idx, 1.0) for idx in taps))
 
@@ -1303,18 +1311,38 @@ def _make_rank_kernel_2d(taps, rank, S1, B0, sl0):
 
         dma(t, slot).wait()
         x = slab[slot]
-        vals = []
-        for kj, row_taps in cols:
-            strip = x[:, kj : kj + S1]
-            for ki, _ in row_taps:
-                vals.append(strip[ki : ki + B0])
-        out_ref[:] = rank_select(vals, rank).astype(out_ref.dtype)
+        if rect is not None:
+            w0, w1 = rect
+            lane_sorted = sort_values(
+                [x[:, kj : kj + S1] for kj in range(w1)]
+            )
+            runs = [
+                [v[ki : ki + B0] for v in lane_sorted]
+                for ki in range(w0)
+            ]
+            out = rank_select_presorted(runs, rank)
+        else:
+            vals = []
+            for kj, row_taps in cols:
+                strip = x[:, kj : kj + S1]
+                for ki, _ in row_taps:
+                    vals.append(strip[ki : ki + B0])
+            out = rank_select(vals, rank)
+        out_ref[:] = out.astype(out_ref.dtype)
 
     return kernel
 
 
-def _make_rank_kernel_3d(taps, rank, S2, B0, B1, sl0, sl1):
-    from cupyimg_tpu.ops.sorting_networks import rank_select
+def _make_rank_kernel_3d(taps, rank, S2, B0, B1, sl0, sl1, rect=None):
+    """3-D rank kernel.  Rectangular footprints use TWO shared stages:
+    the lane window sorted once, then each sublane row's lane-runs
+    merged once (both reused by every leading-axis tap); only the final
+    cross-row pruned merge runs per output — a 3x3x3 median drops from
+    126 to 21 shared + 55 per-point compare-exchanges."""
+    from cupyimg_tpu.ops.sorting_networks import (
+        rank_select, rank_select_presorted, sort_runs_values,
+        sort_values,
+    )
 
     lanes = {}
     for (k0, k1, k2) in taps:
@@ -1353,12 +1381,30 @@ def _make_rank_kernel_3d(taps, rank, S2, B0, B1, sl0, sl1):
 
         dma(t, slot).wait()
         x = slab[slot]
-        vals = []
-        for k2, subs in lane_groups:
-            strip = x[:, :, k2 : k2 + S2]
-            for k0, k1 in subs:
-                vals.append(strip[k0 : k0 + B0, k1 : k1 + B1])
-        out_ref[:] = rank_select(vals, rank).astype(out_ref.dtype)
+        if rect is not None:
+            w0, w1, w2 = rect
+            sb1 = sl1 - w1 + 1
+            lane_sorted = sort_values(
+                [x[:, :, k2 : k2 + S2] for k2 in range(w2)]
+            )
+            row_runs = [
+                [v[:, k1 : k1 + sb1] for v in lane_sorted]
+                for k1 in range(w1)
+            ]
+            merged = sort_runs_values(row_runs)
+            runs = [
+                [m[k0 : k0 + B0, :B1] for m in merged]
+                for k0 in range(w0)
+            ]
+            out = rank_select_presorted(runs, rank)
+        else:
+            vals = []
+            for k2, subs in lane_groups:
+                strip = x[:, :, k2 : k2 + S2]
+                for k0, k1 in subs:
+                    vals.append(strip[k0 : k0 + B0, k1 : k1 + B1])
+            out = rank_select(vals, rank)
+        out_ref[:] = out.astype(out_ref.dtype)
 
     return kernel
 
@@ -1366,10 +1412,12 @@ def _make_rank_kernel_3d(taps, rank, S2, B0, B1, sl0, sl1):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "taps", "wshape", "rank", "origins", "mode", "cval", "interpret",
+        "taps", "wshape", "rank", "origins", "mode", "cval", "rect",
+        "interpret",
     ),
 )
-def _fused_rank(x, taps, wshape, rank, origins, mode, cval, interpret):
+def _fused_rank(x, taps, wshape, rank, origins, mode, cval, rect,
+                interpret):
     ndim = x.ndim
     dtype = x.dtype
     shape = x.shape
@@ -1439,7 +1487,7 @@ def _fused_rank(x, taps, wshape, rank, origins, mode, cval, interpret):
     if ndim == 3:
         B0, B1 = blocks
         kernel = _make_rank_kernel_3d(
-            taps, rank, shape[2], B0, B1, slabs[0], slabs[1]
+            taps, rank, shape[2], B0, B1, slabs[0], slabs[1], rect=rect
         )
         out = pl.pallas_call(
             kernel,
@@ -1466,7 +1514,8 @@ def _fused_rank(x, taps, wshape, rank, origins, mode, cval, interpret):
         return out[: shape[0], : shape[1], : shape[2]]
 
     (B0,) = blocks
-    kernel = _make_rank_kernel_2d(taps, rank, shape[1], B0, slabs[0])
+    kernel = _make_rank_kernel_2d(taps, rank, shape[1], B0, slabs[0],
+                                  rect=rect)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct(
@@ -1502,8 +1551,9 @@ def fused_rank_filter(x, footprint, origins, rank, mode, cval=0.0,
     taps = tuple(
         tuple(int(v) for v in idx) for idx in np.argwhere(footprint)
     )
+    rect = tuple(footprint.shape) if bool(footprint.all()) else None
     return _fused_rank(
         x, taps, footprint.shape, int(rank),
         tuple(int(o) for o in origins), str(mode), float(cval),
-        bool(interpret),
+        rect, bool(interpret),
     )
