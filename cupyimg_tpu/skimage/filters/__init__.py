@@ -17,6 +17,8 @@ from cupyimg_tpu.skimage.filters._window import window  # noqa: F401
 from cupyimg_tpu.skimage.filters._rank_order import rank_order  # noqa: F401
 from cupyimg_tpu.skimage.filters.lpi_filter import (  # noqa: F401
     LPIFilter2D,
+    filter_forward,
+    forward,
     inverse,
     wiener,
 )

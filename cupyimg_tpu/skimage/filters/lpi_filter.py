@@ -9,7 +9,7 @@ import jax.numpy as jnp
 from cupyimg_tpu.skimage._shared.utils import check_shape_equality
 from cupyimg_tpu.skimage.util.dtype import img_as_float
 
-__all__ = ["LPIFilter2D", "inverse", "wiener", "filter_forward"]
+__all__ = ["LPIFilter2D", "inverse", "wiener", "filter_forward", "forward"]
 
 eps = np.finfo(float).eps
 
@@ -82,6 +82,11 @@ def filter_forward(data, impulse_response=None, filter_params=None,
     if predefined_filter is None:
         predefined_filter = LPIFilter2D(impulse_response, **filter_params)
     return predefined_filter(data)
+
+
+# reference-era name (reference lpi_filter.py:126); newer skimage calls
+# this filter_forward
+forward = filter_forward
 
 
 def inverse(data, impulse_response=None, filter_params=None, max_gain=2,
