@@ -47,6 +47,7 @@ __all__ = [
     "good_size",
     "can_handle",
     "perm_indices",
+    "neg_bins",
     "fft_perm",
     "ifft_perm",
     "fftn_perm",
@@ -111,6 +112,38 @@ def perm_indices(n: int) -> np.ndarray:
     j1 = np.arange(a)[:, None]
     j2 = np.arange(b)[None, :]
     return (j1 + a * j2).ravel()
+
+
+def neg_bins(x, axis):
+    """Frequency negation k -> (-k) mod n in the *permuted* bin order.
+
+    At permuted position (j1, j2) the natural bin is k = j1 + a*j2
+    (:func:`perm_indices`), so -k mod n sits at (a-j1, b-1-j2) for
+    j1 > 0 and at (0, (b-j2) mod b) on the j1 == 0 row — i.e. a flip
+    plus roll on the slow digit, a flip on the fast digit, and a
+    one-lane roll of the first slow-digit row.  All static slicing, so
+    XLA fuses it; no gather.  Enables the classic two-reals-in-one-FFT
+    packing for real convolution products (signaltools
+    ``_jitted_pallas_conv``): conj(F[-k]) recovers the two spectra.
+    """
+    ax = axis % x.ndim
+    n = int(x.shape[ax])
+    sp = _split(n)
+    if sp is None:  # natural order: plain flip + roll
+        return jnp.roll(jnp.flip(x, ax), 1, ax)
+    a, b = sp
+    shp = x.shape[:ax] + (a, b) + x.shape[ax + 1 :]
+    y = x.reshape(shp)
+    y = jnp.roll(jnp.flip(y, ax), 1, ax)  # j1 -> (a - j1) % a
+    y = jnp.flip(y, ax + 1)  # j2 -> b - 1 - j2
+    # j1 == 0 row needs (b - j2) % b instead: one extra roll of that row
+    sl0 = [slice(None)] * y.ndim
+    sl0[ax] = slice(0, 1)
+    rest = [slice(None)] * y.ndim
+    rest[ax] = slice(1, None)
+    row0 = jnp.roll(y[tuple(sl0)], 1, ax + 1)
+    y = jnp.concatenate([row0, y[tuple(rest)]], axis=ax)
+    return y.reshape(x.shape)
 
 
 @functools.lru_cache(maxsize=None)

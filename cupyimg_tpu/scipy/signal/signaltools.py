@@ -182,8 +182,15 @@ def _jitted_pallas_conv(kind, fshape, interpret):
     dispatches plus per-call constant uploads (the FFT weight
     matrices), each paying the host<->device round trip; jitted the
     constants live in the executable and a warm call is one dispatch.
+
+    When the two padded operands have identical shapes, the two real
+    forward transforms pack into ONE complex transform of in1 + i*in2
+    (classic two-for-one): with G[k] = F[-k] (a static flip/roll in the
+    permuted bin order, permfft.neg_bins), the product spectrum is
+    A*B = (F^2 - conj(G)^2) / 4i — saving a full forward pass, ~30% of
+    the pipeline's FFT work.
     """
-    from cupyimg_tpu.ops import pallas_fft
+    from cupyimg_tpu.ops import pallas_fft, permfft
 
     def pad_to(v, axes):
         pads = [(0, 0)] * v.ndim
@@ -192,27 +199,47 @@ def _jitted_pallas_conv(kind, fshape, interpret):
         v = v.astype(np.float32)
         return jnp.pad(v, pads) if any(hi for _, hi in pads) else v
 
+    def packed_product(fr, fi, axes):
+        gr, gi = fr, fi
+        for ax in axes:
+            gr = permfft.neg_bins(gr, ax)
+            gi = permfft.neg_bins(gi, ax)
+        # A*B = (F^2 - conj(G)^2) / (4i); num = F^2 - conj(G)^2
+        nr = fr * fr - fi * fi - (gr * gr - gi * gi)
+        ni = 2.0 * (fr * fi + gr * gi)
+        return ni * 0.25, nr * (-0.25)
+
     if kind == "fft2":
         def run(a, b):
             axes = (a.ndim - 2, a.ndim - 1)
-            r1, i1 = pallas_fft.fft2(pad_to(a, axes), None,
-                                     interpret=interpret)
-            r2, i2 = pallas_fft.fft2(pad_to(b, axes), None,
-                                     interpret=interpret)
-            pr = r1 * r2 - i1 * i2
-            pi = r1 * i2 + i1 * r2
+            ap, bp = pad_to(a, axes), pad_to(b, axes)
+            if ap.shape == bp.shape:
+                fr, fi = pallas_fft.fft2(ap, bp, interpret=interpret)
+                pr, pi = packed_product(fr, fi, (-2, -1))
+            else:
+                r1, i1 = pallas_fft.fft2(ap, None, interpret=interpret)
+                r2, i2 = pallas_fft.fft2(bp, None, interpret=interpret)
+                pr = r1 * r2 - i1 * i2
+                pi = r1 * i2 + i1 * r2
             out, _ = pallas_fft.fft2(
                 pr, pi, inverse=True, real_out=True, interpret=interpret
             )
             return out
     else:
         def run(a, b):
-            r1, i1 = pallas_fft.fft_axis(pad_to(a, (a.ndim - 1,)), None,
-                                         -1, interpret=interpret)
-            r2, i2 = pallas_fft.fft_axis(pad_to(b, (b.ndim - 1,)), None,
-                                         -1, interpret=interpret)
-            pr = r1 * r2 - i1 * i2
-            pi = r1 * i2 + i1 * r2
+            ap = pad_to(a, (a.ndim - 1,))
+            bp = pad_to(b, (b.ndim - 1,))
+            if ap.shape == bp.shape:
+                fr, fi = pallas_fft.fft_axis(ap, bp, -1,
+                                             interpret=interpret)
+                pr, pi = packed_product(fr, fi, (-1,))
+            else:
+                r1, i1 = pallas_fft.fft_axis(ap, None, -1,
+                                             interpret=interpret)
+                r2, i2 = pallas_fft.fft_axis(bp, None, -1,
+                                             interpret=interpret)
+                pr = r1 * r2 - i1 * i2
+                pi = r1 * i2 + i1 * r2
             out, _ = pallas_fft.fft_axis(
                 pr, pi, -1, inverse=True, real_out=True,
                 interpret=interpret,

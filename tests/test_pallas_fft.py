@@ -166,3 +166,50 @@ def test_fftconvolve_pallas_path(monkeypatch):
         np.testing.assert_allclose(
             out, full, atol=5e-4 * np.abs(full).max()
         )
+
+
+@pytest.mark.parametrize("n", [8, 255, 256, 384, 1024])
+def test_neg_bins_is_frequency_negation(n):
+    """neg_bins reindexes the permuted spectrum to bin -k: for a real
+    signal, conj(neg_bins(F)) == F (Hermitian symmetry)."""
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal(n).astype(np.float32)
+    r, i = permfft.fft_perm(jnp.asarray(x), None, axis=0)
+    gr = np.asarray(permfft.neg_bins(r, 0))
+    gi = np.asarray(permfft.neg_bins(i, 0))
+    scale = np.abs(np.asarray(r)).max()
+    np.testing.assert_allclose(gr, np.asarray(r), atol=1e-5 * scale)
+    np.testing.assert_allclose(gi, -np.asarray(i), atol=1e-5 * scale)
+
+
+def test_fftconvolve_packed_two_for_one(monkeypatch):
+    """Equal padded shapes take the packed (one complex forward FFT)
+    product path and still match scipy (interpret mode on CPU)."""
+    import scipy.signal as ss
+
+    from cupyimg_tpu.scipy.signal import signaltools
+
+    monkeypatch.setenv("CUPYIMG_TPU_USE_PALLAS_FFT", "1")
+    monkeypatch.setattr(signaltools, "_PALLAS_FFT_MIN_POINTS", 0)
+    rng = np.random.default_rng(8)
+    a = rng.standard_normal((300, 280)).astype(np.float32)
+    b = rng.standard_normal((29, 23)).astype(np.float32)
+    fshape = [
+        signaltools.next_fast_len(300 + 29 - 1),
+        signaltools.next_fast_len(280 + 23 - 1),
+    ]
+    assert pallas_fft.fft2_applies(fshape[0], fshape[1])
+    out = np.asarray(
+        signaltools._pallas_fft2_real_conv(
+            jnp.asarray(a), jnp.asarray(b), (0, 1), fshape
+        )
+    )[: 300 + 29 - 1, : 280 + 23 - 1]
+    full = ss.fftconvolve(a, b, mode="full")
+    np.testing.assert_allclose(out, full, atol=5e-4 * np.abs(full).max())
+    # 1-D packed path: equal-shape operands
+    x1 = rng.standard_normal(3000).astype(np.float32)
+    h1 = rng.standard_normal(3000).astype(np.float32)
+    got1 = np.asarray(signaltools.fftconvolve(
+        jnp.asarray(x1), jnp.asarray(h1), mode="full"))
+    ref1 = ss.fftconvolve(x1, h1, mode="full")
+    np.testing.assert_allclose(got1, ref1, atol=1e-3 * np.abs(ref1).max())
