@@ -217,6 +217,22 @@ def _gather_separable_jit(x, coords_1d, cval, order, mode):
     return interp.gather_separable(x, list(coords_1d), order, mode, cval)
 
 
+@functools.partial(jax.jit, static_argnames=("ndim",))
+def _separable_probe_jit(coordinates, ndim):
+    """(all-axes-separable?, per-axis 1-D reference vectors)."""
+    checks = []
+    refs = []
+    for j in range(ndim):
+        c = coordinates[j]
+        sl = tuple(0 if k != j else slice(None) for k in range(ndim))
+        ref = c[sl]
+        shape = [1] * ndim
+        shape[j] = -1
+        checks.append(jnp.all(c == ref.reshape(shape)))
+        refs.append(ref)
+    return jnp.stack(checks).all(), refs
+
+
 def _separable_coords(coordinates, ndim):
     """If every coords[j] varies only along output axis j, return the 1-D
     per-axis coordinate vectors (one host sync); else None.
@@ -236,25 +252,14 @@ def _separable_coords(coordinates, ndim):
         return None
     if isinstance(coordinates, jax.core.Tracer):
         return None
-    # numpy on the concrete array: jnp reductions would become tracers
-    # under an outer jit (closure constants trace), breaking the bool
-    # test; np.asarray is the same single host sync in eager mode and
-    # free at trace time
-    cnp = np.asarray(coordinates)
-    refs = []
-    for j in range(ndim):
-        c = cnp[j]
-        sl = tuple(
-            0 if k != j else slice(None) for k in range(ndim)
-        )
-        ref = c[sl]
-        shape = [1] * ndim
-        shape[j] = -1
-        if not np.array_equal(
-            c, np.broadcast_to(ref.reshape(shape), c.shape)
-        ):
-            return None
-        refs.append(jnp.asarray(ref))
+    # device-side probe, ONE dispatch + a 1-byte scalar sync: the old
+    # np.asarray probe shipped the whole coordinate volume down the
+    # device tunnel (~25 MB for a 128^3 grid) and an eager per-axis
+    # probe is ~7 round trips; jitted it is a single executable whose
+    # refs stay on device
+    ok, refs = _separable_probe_jit(coordinates, ndim)
+    if not bool(ok):
+        return None
     return refs
 
 
