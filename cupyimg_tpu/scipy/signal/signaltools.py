@@ -173,8 +173,37 @@ def _pallas_fft2_applies(in1, in2, axes, fshape):
     return pallas_fft.fft2_applies(int(fshape[0]), int(fshape[1]))
 
 
+# A second operand whose extent along every transformed axis is at most
+# this is transformed by direct DFT matmuls against (tiny) constant
+# permuted-order DFT matrices instead of a full fused FFT pass: the
+# contraction length m is far below the FFT's effective a+b (~161 at
+# n=4224), the 2nd operand never gets padded/materialized at full size,
+# the 1st operand's forward transform stays real-input, and the product
+# is a plain pointwise complex multiply (no neg_bins flip/roll, which
+# measures ~5 ms on a 4224^2 spectrum on v5e — the old pipeline's
+# single biggest cost).
+_SMALL_DFT_MAX = 128
+
+
 @functools.lru_cache(maxsize=None)
-def _jitted_pallas_conv(kind, fshape, interpret):
+def _perm_dft_consts(n, m):
+    """(Er, Ei) float32 (n, m): E[i, t] = exp(-2j pi p[i] t / n) with p
+    the fused FFT's permuted bin order (permfft.perm_indices) — i.e. a
+    DFT matrix restricted to the first m inputs, rows pre-permuted so a
+    plain matmul lands the spectrum in the same order pallas_fft emits."""
+    from cupyimg_tpu.ops import permfft
+
+    p = permfft.perm_indices(int(n)).astype(np.float64)
+    t = np.arange(int(m), dtype=np.float64)
+    ang = (-2.0 * np.pi / float(n)) * (p[:, None] * t[None, :])
+    return (
+        np.cos(ang).astype(np.float32),
+        np.sin(ang).astype(np.float32),
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_pallas_conv(kind, fshape, interpret, small2=None):
     """One cached jitted callable per (1d/2d, padded-size) signature.
 
     Dispatching the whole pad->fft->product->ifft pipeline as a single
@@ -189,8 +218,14 @@ def _jitted_pallas_conv(kind, fshape, interpret):
     permuted bin order, permfft.neg_bins), the product spectrum is
     A*B = (F^2 - conj(G)^2) / 4i — saving a full forward pass, ~30% of
     the pipeline's FFT work.
+
+    ``small2`` (static extents of the 2nd operand along the transformed
+    axes) switches to the direct-DFT small-kernel path: see
+    _SMALL_DFT_MAX above.
     """
     from cupyimg_tpu.ops import pallas_fft, permfft
+
+    _hp = jax.lax.Precision.HIGHEST
 
     def pad_to(v, axes):
         pads = [(0, 0)] * v.ndim
@@ -212,6 +247,31 @@ def _jitted_pallas_conv(kind, fshape, interpret):
     if kind == "fft2":
         def run(a, b):
             axes = (a.ndim - 2, a.ndim - 1)
+            if small2 is not None:
+                n0, n1 = int(fshape[0]), int(fshape[1])
+                E0r, E0i = _perm_dft_consts(n0, small2[0])
+                E1r, E1i = _perm_dft_consts(n1, small2[1])
+                bb = b.astype(np.float32)
+                t0r = jnp.einsum("it,...tu->...iu", E0r, bb,
+                                 precision=_hp)
+                t0i = jnp.einsum("it,...tu->...iu", E0i, bb,
+                                 precision=_hp)
+                kr = (jnp.einsum("...iu,ju->...ij", t0r, E1r,
+                                 precision=_hp)
+                      - jnp.einsum("...iu,ju->...ij", t0i, E1i,
+                                   precision=_hp))
+                ki = (jnp.einsum("...iu,ju->...ij", t0r, E1i,
+                                 precision=_hp)
+                      + jnp.einsum("...iu,ju->...ij", t0i, E1r,
+                                   precision=_hp))
+                fr, fi = pallas_fft.fft2(pad_to(a, axes), None,
+                                         interpret=interpret)
+                pr = fr * kr - fi * ki
+                pi = fr * ki + fi * kr
+                out, _ = pallas_fft.fft2(pr, pi, inverse=True,
+                                         real_out=True,
+                                         interpret=interpret)
+                return out
             ap, bp = pad_to(a, axes), pad_to(b, axes)
             if ap.shape == bp.shape:
                 fr, fi = pallas_fft.fft2(ap, bp, interpret=interpret)
@@ -227,6 +287,21 @@ def _jitted_pallas_conv(kind, fshape, interpret):
             return out
     else:
         def run(a, b):
+            if small2 is not None:
+                n = int(fshape[0])
+                Er, Ei = _perm_dft_consts(n, small2[0])
+                bb = b.astype(np.float32)
+                kr = jnp.einsum("...t,jt->...j", bb, Er, precision=_hp)
+                ki = jnp.einsum("...t,jt->...j", bb, Ei, precision=_hp)
+                fr, fi = pallas_fft.fft_axis(
+                    pad_to(a, (a.ndim - 1,)), None, -1,
+                    interpret=interpret)
+                pr = fr * kr - fi * ki
+                pi = fr * ki + fi * kr
+                out, _ = pallas_fft.fft_axis(
+                    pr, pi, -1, inverse=True, real_out=True,
+                    interpret=interpret)
+                return out
             ap = pad_to(a, (a.ndim - 1,))
             bp = pad_to(b, (b.ndim - 1,))
             if ap.shape == bp.shape:
@@ -251,11 +326,15 @@ def _jitted_pallas_conv(kind, fshape, interpret):
 
 def _pallas_fft2_real_conv(in1, in2, axes, fshape):
     """Real 2-D convolution via the fused Pallas FFT: two
-    fused-transpose forward passes per operand, pointwise complex
-    product in (fixed) permuted bin order, real-output inverse."""
+    fused-transpose forward passes per operand (direct DFT matmuls for
+    a small second operand), pointwise complex product in (fixed)
+    permuted bin order, real-output inverse."""
     interpret = jax.default_backend() != "tpu"
+    m = tuple(int(s) for s in in2.shape[-2:])
+    small2 = m if max(m) <= _SMALL_DFT_MAX and (
+        m[0] < fshape[0] or m[1] < fshape[1]) else None
     fn = _jitted_pallas_conv(
-        "fft2", tuple(int(n) for n in fshape), interpret
+        "fft2", tuple(int(n) for n in fshape), interpret, small2
     )
     return fn(in1, in2)
 
@@ -286,9 +365,12 @@ def _pallas_fft1_applies(in1, in2, axes, fshape):
 
 def _pallas_fft1_real_conv(in1, in2, axes, fshape):
     """Real last-axis convolution via the Pallas axis-last FFT kernel:
-    pointwise complex product in (fixed) permuted bin order."""
+    pointwise complex product in (fixed) permuted bin order; a short
+    second operand is transformed by one direct DFT matmul instead."""
     interpret = jax.default_backend() != "tpu"
-    fn = _jitted_pallas_conv("fft1", (int(fshape[0]),), interpret)
+    m = int(in2.shape[-1])
+    small2 = (m,) if m <= _SMALL_DFT_MAX and m < int(fshape[0]) else None
+    fn = _jitted_pallas_conv("fft1", (int(fshape[0]),), interpret, small2)
     return fn(in1, in2)
 
 

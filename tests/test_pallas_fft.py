@@ -213,3 +213,54 @@ def test_fftconvolve_packed_two_for_one(monkeypatch):
         jnp.asarray(x1), jnp.asarray(h1), mode="full"))
     ref1 = ss.fftconvolve(x1, h1, mode="full")
     np.testing.assert_allclose(got1, ref1, atol=1e-3 * np.abs(ref1).max())
+
+
+def test_fftconvolve_small_kernel_direct_dft(monkeypatch):
+    """A second operand with every transformed extent <= _SMALL_DFT_MAX
+    takes the direct-DFT matmul path (no full FFT of the kernel, no
+    neg_bins product) and matches scipy in both 1-D and 2-D."""
+    import scipy.signal as ss
+
+    from cupyimg_tpu.scipy.signal import signaltools
+
+    monkeypatch.setenv("CUPYIMG_TPU_USE_PALLAS_FFT", "1")
+    monkeypatch.setattr(signaltools, "_PALLAS_FFT_MIN_POINTS", 0)
+    rng = np.random.default_rng(11)
+
+    # 2-D: kernel (13, 31) <= 128 on both axes -> small2 path
+    a = rng.standard_normal((300, 280)).astype(np.float32)
+    b = rng.standard_normal((13, 31)).astype(np.float32)
+    fshape = [
+        signaltools.next_fast_len(300 + 13 - 1),
+        signaltools.next_fast_len(280 + 31 - 1),
+    ]
+    assert pallas_fft.fft2_applies(fshape[0], fshape[1])
+    out = np.asarray(
+        signaltools._pallas_fft2_real_conv(
+            jnp.asarray(a), jnp.asarray(b), (0, 1), fshape
+        )
+    )[: 300 + 13 - 1, : 280 + 31 - 1]
+    full = ss.fftconvolve(a, b, mode="full")
+    np.testing.assert_allclose(out, full, atol=5e-4 * np.abs(full).max())
+
+    # 1-D batched: kernel length 63 -> small2 path through fft_axis
+    x1 = rng.standard_normal((4, 2000)).astype(np.float32)
+    h1 = rng.standard_normal((1, 63)).astype(np.float32)
+    n1 = signaltools.next_fast_len(2000 + 63 - 1)
+    if pallas_fft.can_handle(n1):
+        got1 = np.asarray(
+            signaltools._pallas_fft1_real_conv(
+                jnp.asarray(x1), jnp.asarray(h1), (1,), (n1,)
+            )
+        )[:, : 2000 + 63 - 1]
+        ref1 = np.stack([ss.fftconvolve(r, h1[0], mode="full") for r in x1])
+        np.testing.assert_allclose(
+            got1, ref1, atol=5e-4 * np.abs(ref1).max()
+        )
+
+    # large kernel (> _SMALL_DFT_MAX) still falls through and agrees
+    bL = rng.standard_normal((150, 9)).astype(np.float32)
+    gotL = np.asarray(signaltools.fftconvolve(
+        jnp.asarray(a), jnp.asarray(bL), mode="same"))
+    refL = ss.fftconvolve(a, bL, mode="same")
+    np.testing.assert_allclose(gotL, refL, atol=1e-3 * np.abs(refL).max())
