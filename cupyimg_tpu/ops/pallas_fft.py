@@ -270,11 +270,12 @@ def _w_unpack(refs):
 
 
 def _kernel_last(W, inverse, real_in, real_out, G, a, b, variant,
-                 exact=False):
+                 exact=False, with_mul=False):
     """Tile (G, a, b); forward: slow matmul -> twiddle -> lane fast
     matmul; inverse mirrored.  The slow contraction runs per
     ``variant`` — G-batched dot_general or VMEM-transposed lane
-    matmul (see _SLOW_VARIANTS)."""
+    matmul (see _SLOW_VARIANTS).  ``with_mul`` folds a pointwise
+    complex product by a second operand pair into the pass."""
 
     def swapin(v):
         # (G*a, b) flat view -> (G*b, a): per-row transpose of the
@@ -312,16 +313,22 @@ def _kernel_last(W, inverse, real_in, real_out, G, a, b, variant,
         return swapout(out[0]), swapout(out[1])
 
     def body(xr_ref, *rest):
+        idx = 0
         if real_in:
             xi = None
-            w_refs = rest[:14]
-            outs = rest[14:]
         else:
-            xi = rest[0][...].reshape(G * a, b)
-            w_refs = rest[1:15]
-            outs = rest[15:]
+            xi = rest[idx][...].reshape(G * a, b)
+            idx += 1
+        if with_mul:
+            mr = rest[idx][...].reshape(G * a, b)
+            mi = rest[idx + 1][...].reshape(G * a, b)
+            idx += 2
+        w_refs = rest[idx:idx + 14]
+        outs = rest[idx + 14:]
         slow, fast, twr, twi = _w_unpack(w_refs)
         xr = xr_ref[...].reshape(G * a, b)
+        if with_mul:
+            xr, xi = xr * mr - xi * mi, xr * mi + xi * mr
         if not inverse:
             ur, ui = slow_mm(slow, xr, xi)
             vr, vi = _twiddle(ur, ui, twr, twi)
@@ -349,13 +356,17 @@ def _kernel_last(W, inverse, real_in, real_out, G, a, b, variant,
 
 
 def _kernel_first(W, inverse, real_in, real_out, a, b, BC, exact=False,
-                  transpose_out=False):
+                  transpose_out=False, with_mul=False):
     """Tile (a, b, BC) [leading grid dim squeezed]; forward: slow
     matmul on merged minors -> twiddle -> a-batched fast matmul.
 
     ``transpose_out=True`` transposes the (n, BC) result to (BC, n)
     in VMEM before the write, so a 2-D transform runs as two of these
-    passes with no separate HBM transpose (F2 = T.Fc.T.Fc)."""
+    passes with no separate HBM transpose (F2 = T.Fc.T.Fc).
+
+    ``with_mul=True`` adds a second complex operand pair and folds the
+    pointwise complex product into the pass (spectrum product fused
+    into the inverse transform — no separate HBM round trip)."""
 
     def merge(v):
         return None if v is None else v.reshape(a, b * BC)
@@ -370,16 +381,22 @@ def _kernel_first(W, inverse, real_in, real_out, a, b, BC, exact=False,
             ref[...] = v.reshape(ref.shape)
 
     def body(xr_ref, *rest):
+        idx = 0
         if real_in:
             xi = None
-            w_refs = rest[:14]
-            outs = rest[14:]
         else:
-            xi = rest[0][...].reshape(a, b, BC)
-            w_refs = rest[1:15]
-            outs = rest[15:]
+            xi = rest[idx][...].reshape(a, b, BC)
+            idx += 1
+        if with_mul:
+            mr = rest[idx][...].reshape(a, b, BC)
+            mi = rest[idx + 1][...].reshape(a, b, BC)
+            idx += 2
+        w_refs = rest[idx:idx + 14]
+        outs = rest[idx + 14:]
         slow, fast, twr, twi = _w_unpack(w_refs)
         xr = xr_ref[...].reshape(a, b, BC)
+        if with_mul:
+            xr, xi = xr * mr - xi * mi, xr * mi + xi * mr
         if not inverse:
             ur, ui = _cmatmul(slow, (merge(xr), merge(xi)), _D2D, exact=exact)
             vr, vi = _twiddle(split3(ur), split3(ui), twr, twi)
@@ -435,8 +452,10 @@ def _pallas(kernel, grid, in_arrays, in_specs, out_shapes, out_specs,
     )(*in_arrays)
 
 
-def _fft_last(xr, xi, n, inverse, real_out, interpret):
-    """Transform the last axis; xr/xi shaped (..., n)."""
+def _fft_last(xr, xi, n, inverse, real_out, interpret, mul_pair=None):
+    """Transform the last axis; xr/xi shaped (..., n).  ``mul_pair``
+    folds a pointwise complex product into the pass (see
+    _kernel_last)."""
     lead = xr.shape[:-1]
     R = int(np.prod(lead)) if lead else 1
     a, b = _split(n)
@@ -445,8 +464,11 @@ def _fft_last(xr, xi, n, inverse, real_out, interpret):
     variant = SLOW_VARIANT
     W = _weights_last(n, inverse, G, variant)
     real_in = xi is None
+    if mul_pair is not None and real_in:
+        raise ValueError("mul_pair requires complex input")
     kernel = _kernel_last(
-        W, inverse, real_in, real_out, G, a, b, variant, exact=interpret
+        W, inverse, real_in, real_out, G, a, b, variant, exact=interpret,
+        with_mul=mul_pair is not None,
     )
 
     xr3 = xr.reshape(R, a, b)
@@ -456,6 +478,10 @@ def _fft_last(xr, xi, n, inverse, real_out, interpret):
     if not real_in:
         ins.append(xi.reshape(R, a, b))
         in_specs.append(spec)
+    if mul_pair is not None:
+        for m in mul_pair:
+            ins.append(m.reshape(R, a, b))
+            in_specs.append(spec)
     warrs = _w_arrays(W)
     ins.extend(warrs)
     in_specs.extend(
@@ -480,20 +506,23 @@ def _fft_last(xr, xi, n, inverse, real_out, interpret):
 
 
 def _fft_first(xr, xi, n, inverse, real_out, interpret,
-               transpose_out=False):
+               transpose_out=False, mul_pair=None):
     """Transform axis 0 of (n, C) views, with an optional folded
     leading batch:  xr/xi shaped (L, n, C).  ``transpose_out`` makes
     the kernel write (L, C, n) instead — the fused-transpose pass of
-    the 2-D pipeline."""
+    the 2-D pipeline.  ``mul_pair=(mr, mi)`` (same shape) folds a
+    pointwise complex product into the pass before the transform."""
     L, _, C = xr.shape
     a, b = _split(n)
     BC = _LANE if C % _LANE == 0 or C > _LANE else C
     grid = (L, pl.cdiv(C, BC))
     W = _weights_first(n, inverse)
     real_in = xi is None
+    if mul_pair is not None and real_in:
+        raise ValueError("mul_pair requires complex input")
     kernel = _kernel_first(
         W, inverse, real_in, real_out, a, b, BC, exact=interpret,
-        transpose_out=transpose_out,
+        transpose_out=transpose_out, with_mul=mul_pair is not None,
     )
 
     xr4 = xr.reshape(L, a, b, C)
@@ -503,6 +532,10 @@ def _fft_first(xr, xi, n, inverse, real_out, interpret,
     if not real_in:
         ins.append(xi.reshape(L, a, b, C))
         in_specs.append(spec)
+    if mul_pair is not None:
+        for m in mul_pair:
+            ins.append(m.reshape(L, a, b, C))
+            in_specs.append(spec)
     warrs = _w_arrays(W)
     ins.extend(warrs)
     in_specs.extend(
@@ -531,21 +564,32 @@ def _fft_first(xr, xi, n, inverse, real_out, interpret,
     return final(out[0]), final(out[1])
 
 
-def fft2(xr, xi, inverse=False, real_out=False, interpret=False):
+def fft2(xr, xi, inverse=False, real_out=False, interpret=False,
+         mul=None):
     """2-D transform over the LAST TWO axes of a pair (leading dims
     are batch), as TWO fused-transpose axis-first passes:
     F2 = T . Fc . T . Fc (T folded into each kernel's output write),
     so the slow axis-last kernel is never used.  Forward: natural in
     -> both axes permuted.  Inverse: permuted in -> natural out,
     1/(n0*n1) normalized; ``real_out`` drops the imaginary plane of
-    the final pass.  Requires ``fft2_applies`` on the two sizes."""
+    the final pass.  Requires ``fft2_applies`` on the two sizes.
+
+    ``mul=(mr, mi)`` folds a pointwise complex product by the given
+    pair into the first pass — the conv-product fusion (no separate
+    HBM round trip for the spectrum multiply)."""
     lead = xr.shape[:-2]
     n0, n1 = (int(s) for s in xr.shape[-2:])
     L = int(np.prod(lead)) if lead else 1
     r = xr.reshape(L, n0, n1)
     i = None if xi is None else xi.reshape(L, n0, n1)
+    mul3 = None
+    if mul is not None:
+        mul3 = tuple(
+            jnp.broadcast_to(m, lead + (n0, n1)).reshape(L, n0, n1)
+            for m in mul
+        )
     r, i = _fft_first(r, i, n0, inverse, False, interpret,
-                      transpose_out=True)
+                      transpose_out=True, mul_pair=mul3)
     r, i = _fft_first(r, i, n1, inverse, real_out, interpret,
                       transpose_out=True)
     r = r.reshape(lead + (n0, n1))
@@ -557,7 +601,8 @@ def fft2(xr, xi, inverse=False, real_out=False, interpret=False):
     return r, i
 
 
-def fft_axis(xr, xi, axis, inverse=False, real_out=False, interpret=False):
+def fft_axis(xr, xi, axis, inverse=False, real_out=False, interpret=False,
+             mul=None):
     """Permuted-order transform along ``axis`` of an (r, i) pair.
 
     Forward: natural in -> permuted out.  Inverse: permuted in ->
@@ -565,13 +610,19 @@ def fft_axis(xr, xi, axis, inverse=False, real_out=False, interpret=False):
     ``real_out=True`` drops the imaginary output plane.  Requires
     ``can_handle(shape[axis])`` and n > _MAX_A (two-stage split);
     single-stage sizes should use permfft's einsum path.
+
+    ``mul=(mr, mi)`` folds a pointwise complex product by the given
+    (broadcastable) pair into the pass.
     """
     ax = axis % xr.ndim
     n = int(xr.shape[ax])
     scale = np.float32(1.0 / n) if inverse else None
+    if mul is not None:
+        mul = tuple(jnp.broadcast_to(m, xr.shape) for m in mul)
 
     if ax == xr.ndim - 1:
-        rr, ri = _fft_last(xr, xi, n, inverse, real_out, interpret)
+        rr, ri = _fft_last(xr, xi, n, inverse, real_out, interpret,
+                           mul_pair=mul)
     else:
         lead = xr.shape[:ax]
         L = int(np.prod(lead)) if lead else 1
@@ -583,6 +634,9 @@ def fft_axis(xr, xi, axis, inverse=False, real_out=False, interpret=False):
             inverse,
             real_out,
             interpret,
+            mul_pair=None if mul is None else tuple(
+                m.reshape(L, n, C) for m in mul
+            ),
         )
         rr = rr.reshape(xr.shape)
         ri = None if ri is None else ri.reshape(xr.shape)

@@ -212,18 +212,18 @@ def _jitted_pallas_conv(kind, fshape, interpret, small2=None):
     matrices), each paying the host<->device round trip; jitted the
     constants live in the executable and a warm call is one dispatch.
 
-    When the two padded operands have identical shapes, the two real
-    forward transforms pack into ONE complex transform of in1 + i*in2
-    (classic two-for-one): with G[k] = F[-k] (a static flip/roll in the
-    permuted bin order, permfft.neg_bins), the product spectrum is
-    A*B = (F^2 - conj(G)^2) / 4i — saving a full forward pass, ~30% of
-    the pipeline's FFT work.
+    The spectrum product is FUSED into the inverse transform's first
+    Pallas pass (``mul=``) — no separate HBM round trip.  Equal-size
+    operands run two real-input forwards rather than the classic
+    two-for-one complex packing: the packed unpack needs F[-k], a
+    neg_bins flip/roll that measures ~5 ms on a 4224^2 spectrum on
+    v5e — far more than the ~1.3 ms forward pass it saves.
 
     ``small2`` (static extents of the 2nd operand along the transformed
     axes) switches to the direct-DFT small-kernel path: see
     _SMALL_DFT_MAX above.
     """
-    from cupyimg_tpu.ops import pallas_fft, permfft
+    from cupyimg_tpu.ops import pallas_fft
 
     _hp = jax.lax.Precision.HIGHEST
 
@@ -233,16 +233,6 @@ def _jitted_pallas_conv(kind, fshape, interpret, small2=None):
             pads[a] = (0, int(n) - v.shape[a])
         v = v.astype(np.float32)
         return jnp.pad(v, pads) if any(hi for _, hi in pads) else v
-
-    def packed_product(fr, fi, axes):
-        gr, gi = fr, fi
-        for ax in axes:
-            gr = permfft.neg_bins(gr, ax)
-            gi = permfft.neg_bins(gi, ax)
-        # A*B = (F^2 - conj(G)^2) / (4i); num = F^2 - conj(G)^2
-        nr = fr * fr - fi * fi - (gr * gr - gi * gi)
-        ni = 2.0 * (fr * fi + gr * gi)
-        return ni * 0.25, nr * (-0.25)
 
     if kind == "fft2":
         def run(a, b):
@@ -266,23 +256,29 @@ def _jitted_pallas_conv(kind, fshape, interpret, small2=None):
                                    precision=_hp))
                 fr, fi = pallas_fft.fft2(pad_to(a, axes), None,
                                          interpret=interpret)
-                pr = fr * kr - fi * ki
-                pi = fr * ki + fi * kr
-                out, _ = pallas_fft.fft2(pr, pi, inverse=True,
+                out, _ = pallas_fft.fft2(fr, fi, inverse=True,
                                          real_out=True,
-                                         interpret=interpret)
+                                         interpret=interpret,
+                                         mul=(kr, ki))
                 return out
+            # two real-input forward transforms + product fused into
+            # the inverse's first pass.  (Packing both operands into
+            # one complex transform saves a forward pass but its
+            # unpack needs F[-k] — a neg_bins flip/roll that measures
+            # ~5 ms on a 4224^2 spectrum on v5e, far more than the
+            # ~1.3 ms forward it saves.)
             ap, bp = pad_to(a, axes), pad_to(b, axes)
-            if ap.shape == bp.shape:
-                fr, fi = pallas_fft.fft2(ap, bp, interpret=interpret)
-                pr, pi = packed_product(fr, fi, (-2, -1))
-            else:
-                r1, i1 = pallas_fft.fft2(ap, None, interpret=interpret)
-                r2, i2 = pallas_fft.fft2(bp, None, interpret=interpret)
-                pr = r1 * r2 - i1 * i2
-                pi = r1 * i2 + i1 * r2
+            r1, i1 = pallas_fft.fft2(ap, None, interpret=interpret)
+            r2, i2 = pallas_fft.fft2(bp, None, interpret=interpret)
+            if r1.shape != r2.shape:  # leading-dim broadcast
+                common = np.broadcast_shapes(r1.shape, r2.shape)
+                r1 = jnp.broadcast_to(r1, common)
+                i1 = jnp.broadcast_to(i1, common)
+                r2 = jnp.broadcast_to(r2, common)
+                i2 = jnp.broadcast_to(i2, common)
             out, _ = pallas_fft.fft2(
-                pr, pi, inverse=True, real_out=True, interpret=interpret
+                r1, i1, inverse=True, real_out=True,
+                interpret=interpret, mul=(r2, i2)
             )
             return out
     else:
@@ -296,28 +292,27 @@ def _jitted_pallas_conv(kind, fshape, interpret, small2=None):
                 fr, fi = pallas_fft.fft_axis(
                     pad_to(a, (a.ndim - 1,)), None, -1,
                     interpret=interpret)
-                pr = fr * kr - fi * ki
-                pi = fr * ki + fi * kr
                 out, _ = pallas_fft.fft_axis(
-                    pr, pi, -1, inverse=True, real_out=True,
-                    interpret=interpret)
+                    fr, fi, -1, inverse=True, real_out=True,
+                    interpret=interpret, mul=(kr, ki))
                 return out
+            # two real forwards + product fused into the inverse (see
+            # the fft2 branch for why packing loses to neg_bins cost)
             ap = pad_to(a, (a.ndim - 1,))
             bp = pad_to(b, (b.ndim - 1,))
-            if ap.shape == bp.shape:
-                fr, fi = pallas_fft.fft_axis(ap, bp, -1,
-                                             interpret=interpret)
-                pr, pi = packed_product(fr, fi, (-1,))
-            else:
-                r1, i1 = pallas_fft.fft_axis(ap, None, -1,
-                                             interpret=interpret)
-                r2, i2 = pallas_fft.fft_axis(bp, None, -1,
-                                             interpret=interpret)
-                pr = r1 * r2 - i1 * i2
-                pi = r1 * i2 + i1 * r2
+            r1, i1 = pallas_fft.fft_axis(ap, None, -1,
+                                         interpret=interpret)
+            r2, i2 = pallas_fft.fft_axis(bp, None, -1,
+                                         interpret=interpret)
+            if r1.shape != r2.shape:  # leading-dim broadcast
+                common = np.broadcast_shapes(r1.shape, r2.shape)
+                r1 = jnp.broadcast_to(r1, common)
+                i1 = jnp.broadcast_to(i1, common)
+                r2 = jnp.broadcast_to(r2, common)
+                i2 = jnp.broadcast_to(i2, common)
             out, _ = pallas_fft.fft_axis(
-                pr, pi, -1, inverse=True, real_out=True,
-                interpret=interpret,
+                r1, i1, -1, inverse=True, real_out=True,
+                interpret=interpret, mul=(r2, i2),
             )
             return out
 
