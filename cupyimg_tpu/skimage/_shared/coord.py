@@ -16,14 +16,17 @@ from jax import lax
 __all__ = ["ensure_spacing"]
 
 
-def ensure_spacing(coords, spacing=1, p_norm=np.inf, *, max_out=None):
-    """Return a subset of ``coords`` (priority = row order) pairwise
+def ensure_spacing(coord, spacing=1, p_norm=np.inf, *, max_out=None):
+    """Return a subset of ``coord`` (priority = row order) pairwise
     separated by at least ``spacing``.
+
+    The first parameter is named ``coord`` for keyword-call parity with
+    the reference (cupyimg/skimage/_shared/coord.py:7).
 
     Returns the surviving coordinates (host-side compaction at the API
     boundary, like the reference's variable-length returns).
     """
-    coords = jnp.asarray(coords)
+    coords = jnp.asarray(coord)
     if coords.ndim == 1:
         coords = coords[:, None]
     n = coords.shape[0]

@@ -12,6 +12,8 @@ from __future__ import annotations
 
 import numpy as np
 from numpy import linalg
+from warnings import warn
+
 import jax.numpy as jnp
 
 from cupyimg_tpu.skimage.util.dtype import img_as_float, dtype_limits
@@ -391,9 +393,57 @@ def rgb2gray(rgb):
 rgb2grey = rgb2gray
 
 
-def gray2rgb(image):
-    """Stack a gray image into 3 RGB channels (skimage parity)."""
-    return jnp.stack(3 * (jnp.asarray(image),), axis=-1)
+def gray2rgb(image, alpha=None):
+    """Stack a gray image into 3 RGB channels (skimage parity).
+
+    ``alpha`` and the RGB(A) pass-through of 3-/4-channel inputs match
+    the reference's deprecated behavior (reference colorconv.py:992-1067)
+    including the FutureWarnings it emits.
+    """
+    image = jnp.asarray(image)
+    if alpha is not None:
+        warn(
+            "alpha argument is deprecated and will be removed in "
+            "version 0.19. Please use the gray2rgba function instead "
+            "to obtain an RGBA image.",
+            FutureWarning,
+            stacklevel=2,
+        )
+    squeezed_ndim = image.ndim - sum(
+        1 for s in image.shape if s == 1
+    )
+    is_rgb = is_alpha = False
+    if squeezed_ndim == 3 and image.ndim >= 3:
+        if image.shape[-1] == 3:
+            is_rgb = True
+        elif image.shape[-1] == 4:
+            is_rgb = is_alpha = True
+    if is_rgb:
+        warn(
+            "Pass-through of possibly RGB images in gray2rgb is "
+            "deprecated. In version 0.19, input arrays will always be "
+            "considered grayscale, even if the last dimension has length "
+            "3 or 4. To prevent this warning and ensure compatibility "
+            "with future versions, detect RGB images outside of this "
+            "function.",
+            FutureWarning,
+            stacklevel=2,
+        )
+        if alpha is False:
+            return image[..., :3]
+        if alpha is True and not is_alpha:
+            alpha_layer = jnp.ones_like(image[..., :1]) * dtype_limits(
+                image, clip_negative=False
+            )[1]
+            return jnp.concatenate((image, alpha_layer), axis=-1)
+        return image
+    rgb = jnp.stack(3 * (image,), axis=-1)
+    if alpha:
+        alpha_layer = jnp.ones_like(image[..., None]) * dtype_limits(
+            image, clip_negative=False
+        )[1]
+        rgb = jnp.concatenate((rgb, alpha_layer), axis=-1)
+    return rgb
 
 
 grey2rgb = gray2rgb

@@ -39,11 +39,11 @@ def _check_factor(factor):
 
 def pyramid_reduce(
     image, downscale=2, sigma=None, order=1, mode="reflect", cval=0,
-    multichannel=False,
+    multichannel=False, preserve_range=False,
 ):
     """Smooth then downsample (skimage parity)."""
     _check_factor(downscale)
-    image = convert_to_float(jnp.asarray(image), False)
+    image = convert_to_float(jnp.asarray(image), preserve_range)
     out_shape = tuple(
         math.ceil(d / float(downscale)) for d in image.shape
     )
@@ -60,11 +60,11 @@ def pyramid_reduce(
 
 def pyramid_expand(
     image, upscale=2, sigma=None, order=1, mode="reflect", cval=0,
-    multichannel=False,
+    multichannel=False, preserve_range=False,
 ):
     """Upsample then smooth (skimage parity)."""
     _check_factor(upscale)
-    image = convert_to_float(jnp.asarray(image), False)
+    image = convert_to_float(jnp.asarray(image), preserve_range)
     out_shape = tuple(
         math.ceil(upscale * d) for d in image.shape
     )
@@ -81,13 +81,13 @@ def pyramid_expand(
 
 def pyramid_gaussian(
     image, max_layer=-1, downscale=2, sigma=None, order=1, mode="reflect",
-    cval=0, multichannel=False,
+    cval=0, multichannel=False, preserve_range=False,
 ):
     """Generator of gaussian pyramid layers (skimage parity)."""
     _check_factor(downscale)
     layer = 0
     current_shape = jnp.asarray(image).shape
-    prev_layer_image = convert_to_float(jnp.asarray(image), False)
+    prev_layer_image = convert_to_float(jnp.asarray(image), preserve_range)
     yield prev_layer_image
     while layer != max_layer:
         layer += 1
@@ -105,18 +105,15 @@ def pyramid_gaussian(
 
 def pyramid_laplacian(
     image, max_layer=-1, downscale=2, sigma=None, order=1, mode="reflect",
-    cval=0, multichannel=False,
+    cval=0, multichannel=False, preserve_range=False,
 ):
     """Generator of laplacian pyramid layers (skimage parity)."""
     _check_factor(downscale)
     if sigma is None:
         sigma = 2 * downscale / 6.0
     current_shape = jnp.asarray(image).shape
-    smoothed = _smooth(
-        convert_to_float(jnp.asarray(image), False), sigma, mode, cval,
-        multichannel,
-    )
-    image = convert_to_float(jnp.asarray(image), False)
+    image = convert_to_float(jnp.asarray(image), preserve_range)
+    smoothed = _smooth(image, sigma, mode, cval, multichannel)
     yield image - smoothed
     layer = 0
     while layer != max_layer:

@@ -345,3 +345,73 @@ class TestTestingDecorators:
 
         f()
         assert seen == [np.float32, np.int32]
+
+
+class TestSignatureParityFills:
+    """Reference-signature parity: gray2rgb(alpha=), pyramid
+    preserve_range=, ensure_spacing(coord=) (reference
+    colorconv.py:992, pyramids.py:35, _shared/coord.py:7)."""
+
+    def test_gray2rgb_alpha_true(self):
+        from cupyimg_tpu.skimage.color import gray2rgb
+
+        g = np.arange(12, dtype=np.uint8).reshape(3, 4)
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            out = np.asarray(gray2rgb(g, alpha=True))
+            assert any(
+                issubclass(x.category, FutureWarning) for x in w
+            )
+        assert out.shape == (3, 4, 4)
+        assert (out[..., 3] == 255).all()
+        np.testing.assert_array_equal(out[..., :3], np.stack([g] * 3, -1))
+
+    def test_gray2rgb_rgb_passthrough(self):
+        from cupyimg_tpu.skimage.color import gray2rgb
+
+        rgb = np.arange(24, dtype=np.uint8).reshape(2, 4, 3)
+        rgba = np.arange(32, dtype=np.uint8).reshape(2, 4, 4)
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            np.testing.assert_array_equal(np.asarray(gray2rgb(rgb)), rgb)
+            assert any("Pass-through" in str(x.message) for x in w)
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            np.testing.assert_array_equal(
+                np.asarray(gray2rgb(rgba, alpha=False)), rgba[..., :3]
+            )
+            out = np.asarray(gray2rgb(rgb, alpha=True))
+        assert out.shape == (2, 4, 4) and (out[..., 3] == 255).all()
+
+    def test_pyramid_preserve_range(self):
+        from cupyimg_tpu.skimage.transform import (
+            pyramid_reduce,
+            pyramid_expand,
+            pyramid_gaussian,
+            pyramid_laplacian,
+        )
+
+        img = (np.arange(1024) % 251).astype(np.uint8).reshape(32, 32)
+        for fn in (pyramid_reduce, pyramid_expand):
+            a = np.asarray(fn(img, preserve_range=True))
+            b = np.asarray(fn(img, preserve_range=False))
+            assert a.max() > 2.0 and b.max() <= 1.0
+            np.testing.assert_allclose(a / 255.0, b, rtol=1e-5, atol=1e-6)
+        for gen in (pyramid_gaussian, pyramid_laplacian):
+            la = list(gen(img, max_layer=2, preserve_range=True))
+            lb = list(gen(img, max_layer=2, preserve_range=False))
+            assert len(la) == len(lb) == 3
+            for x, y in zip(la, lb):
+                np.testing.assert_allclose(
+                    np.asarray(x) / 255.0, np.asarray(y),
+                    rtol=1e-4, atol=1e-6,
+                )
+
+    def test_ensure_spacing_coord_kwarg(self):
+        from cupyimg_tpu.skimage._shared.coord import ensure_spacing
+
+        pts = (np.arange(100).reshape(50, 2) % 17).astype(float)
+        out = np.asarray(ensure_spacing(coord=pts, spacing=1.0))
+        d = np.max(np.abs(out[:, None, :] - out[None, :, :]), -1)
+        off = ~np.eye(len(out), dtype=bool)
+        assert (d[off] >= 1.0).all()
