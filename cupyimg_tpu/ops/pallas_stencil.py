@@ -222,7 +222,171 @@ def _banded_lane_matrix(taps, origin, n, mode, cval):
     return B.astype(np.float32), c.astype(np.float32)
 
 
-def _make_kernel_3d_lanemm(sp0, sp1, S2, B0, B1, sl0, sl1, exact=False):
+def _edge_fix_lo(s, axis, srcs, cval):
+    """Rebuild a slab whose DMA start was clamped to 0: the boundary
+    rows (static ``srcs`` slab indices, ``None`` = cval) go in front and
+    the read data shifts back by ``len(srcs)``."""
+    parts = []
+    for src in srcs:
+        if src is None:
+            shp = list(s.shape)
+            shp[axis] = 1
+            parts.append(jnp.full(shp, cval, s.dtype))
+        else:
+            parts.append(jax.lax.slice_in_dim(s, src, src + 1, axis=axis))
+    body = jax.lax.slice_in_dim(s, 0, s.shape[axis] - len(srcs), axis=axis)
+    return jnp.concatenate(parts + [body], axis=axis)
+
+
+def _edge_fix_hi(s, axis, srcs, body_start, body_len, cval):
+    """Rebuild a slab whose DMA start was clamped to the array end:
+    valid rows sit ``body_start`` deep, the boundary rows follow, and
+    any alignment tail keeps (unused) garbage to hold the shape."""
+    parts = [
+        jax.lax.slice_in_dim(
+            s, body_start, body_start + body_len, axis=axis
+        )
+    ]
+    for src in srcs:
+        if src is None:
+            shp = list(s.shape)
+            shp[axis] = 1
+            parts.append(jnp.full(shp, cval, s.dtype))
+        else:
+            parts.append(jax.lax.slice_in_dim(s, src, src + 1, axis=axis))
+    tail = s.shape[axis] - body_len - len(srcs)
+    if tail:
+        parts.append(jax.lax.slice_in_dim(s, 0, tail, axis=axis))
+    return jnp.concatenate(parts, axis=axis)
+
+
+def _apply_edge_fixes(slab, slot, gids, gnums, edges, cval):
+    """Patch the just-DMA'd slab in VMEM for blocks on the array
+    border (first/last grid position per axis).  Interior blocks — the
+    vast majority — skip both branches."""
+    for ax, (gid, gnum, e) in enumerate(zip(gids, gnums, edges)):
+        lo_srcs, hi_srcs, body_start, body_len = e
+        if lo_srcs:
+            @pl.when(gid == 0)
+            def _(ax=ax, lo_srcs=lo_srcs):
+                slab[slot] = _edge_fix_lo(slab[slot], ax, lo_srcs, cval)
+        if hi_srcs or body_start > 0:
+            @pl.when(gid == gnum - 1)
+            def _(ax=ax, hi_srcs=hi_srcs, body_start=body_start,
+                  body_len=body_len):
+                slab[slot] = _edge_fix_hi(
+                    slab[slot], ax, hi_srcs, body_start, body_len, cval
+                )
+
+
+def _divisors_near(n, pref, step=1):
+    """Divisors of ``n`` (multiples of ``step``) ordered by closeness to
+    ``pref`` (larger-first on ties)."""
+    divs = [
+        d for d in range(step, min(n, 8 * pref) + 1, step) if n % d == 0
+    ]
+    return sorted(divs, key=lambda d: (abs(math.log2(d / pref)), -d))
+
+
+def _plan_padless_lanemm(shape, halos, pads, modes, cval, lane, itemsize):
+    """Block plan for the 3-D lane-matmul kernel reading the UNPADDED
+    input: DMA starts clamp into bounds and border blocks repair their
+    halo rows in VMEM (static boundary-index tables), so the pre-pad
+    HBM round trip — about half the total time of a 256^3 separable
+    filter — disappears.  Returns (blocks, slabs, grid, edges) or None
+    when the shape/mode combination can't satisfy the static-patch
+    constraints (fallback: the padded path)."""
+    if lane != shape[2]:
+        return None  # lane tail pad still needed
+
+    # HBM slices on the sublane axis must start 8-aligned, so axis 1
+    # leads with lo rounded up to 8 ("lead" extra rows, skipped by a
+    # static in-kernel slice); axis 0 offsets are unconstrained.
+    lead1 = _round_up(pads[1][0], 8) - pads[1][0]
+    lo_eff = [pads[0][0], pads[1][0] + lead1]
+
+    def slab_of(ax, b):
+        if ax == 0:
+            return b + halos[0]
+        return lo_eff[1] + _round_up(b + pads[1][1], 8)
+
+    def axis_ok(ax, b):
+        S = shape[ax]
+        sl = slab_of(ax, b)
+        lo = lo_eff[ax]
+        if sl > S or lo > b or sl > 2 * b + lo:
+            return False
+        if (lo or pads[ax][1] or sl > b) and S // b < 2:
+            return False
+        return True
+
+    if shape[1] % 8:
+        return None
+    c0 = [d for d in _divisors_near(shape[0], 16) if axis_ok(0, d)]
+    c1 = [d for d in _divisors_near(shape[1], 64, step=8)
+          if axis_ok(1, d)]
+    if not c0 or not c1:
+        return None
+    # shrink toward the VMEM budget along axis 1 first, then axis 0
+    def fits(b0, b1):
+        return (
+            slab_of(0, b0) * slab_of(1, b1) * lane * itemsize
+            <= _VMEM_BUDGET
+        )
+    b0, b1 = c0[0], c1[0]
+    while not fits(b0, b1):
+        n1 = [d for d in c1 if d < b1]
+        if n1:
+            b1 = max(n1)
+            continue
+        n0 = [d for d in c0 if d < b0]
+        if not n0:
+            return None
+        b0 = max(n0)
+    blocks = [b0, b1]
+    slabs = [slab_of(0, b0), slab_of(1, b1)]
+    grid = [shape[0] // b0, shape[1] // b1]
+    edges = []
+    for ax in (0, 1):
+        S, B, sl = shape[ax], blocks[ax], slabs[ax]
+        lo, hi = pads[ax]
+        lo_srcs = []
+        if lo or (ax == 1 and lead1 and (lo or hi)):
+            # lead rows are never read — fill from row 0
+            lo_srcs = [0] * (lo_eff[ax] - lo)
+            m, oob = boundary.map_indices_np(
+                np.arange(-lo, 0), S, modes[ax]
+            )
+            for mi, ob in zip(m, oob):
+                if ob:
+                    lo_srcs.append(None)
+                elif 0 <= mi < sl:
+                    lo_srcs.append(int(mi))
+                else:
+                    return None  # e.g. wrap: needs the far end
+        hi_srcs = []
+        if hi:
+            m, oob = boundary.map_indices_np(
+                np.arange(S, S + hi), S, modes[ax]
+            )
+            for mi, ob in zip(m, oob):
+                if ob:
+                    hi_srcs.append(None)
+                elif S - sl <= mi < S:
+                    hi_srcs.append(int(mi - (S - sl)))
+                else:
+                    return None
+        edges.append(
+            (
+                tuple(lo_srcs), tuple(hi_srcs),
+                sl - B - lo_eff[ax], B + lo_eff[ax],
+            )
+        )
+    return blocks, slabs, grid, tuple(edges), lead1
+
+
+def _make_kernel_3d_lanemm(sp0, sp1, S2, B0, B1, sl0, sl1, exact=False,
+                           clamp=None, edges=None, cval=0.0):
     """3-D kernel: sublane-axis passes as shifted adds, lane-axis pass
     as a banded-matrix MXU matmul (3-pass bf16 hi/lo split, ~2^-22
     relative — below the f32 tap-sum roundoff of the shift path)."""
@@ -246,10 +410,14 @@ def _make_kernel_3d_lanemm(sp0, sp1, S2, B0, B1, sl0, sl1, exact=False):
         def dma(tt, sl):
             ii = jnp.asarray(jax.lax.div(tt, g1), jnp.int32)
             jj = jnp.asarray(jax.lax.rem(tt, g1), jnp.int32)
+            if clamp is None:
+                s0, s1 = ii * B0, jj * B1
+            else:
+                lo0, lim0, lo1, lim1 = clamp
+                s0 = jnp.clip(ii * B0 - lo0, 0, lim0)
+                s1 = jnp.clip(jj * B1 - lo1, 0, lim1)
             return pltpu.make_async_copy(
-                x_any.at[
-                    pl.ds(ii * B0, sl0), pl.ds(jj * B1, sl1), :
-                ],
+                x_any.at[pl.ds(s0, sl0), pl.ds(s1, sl1), :],
                 slab.at[sl],
                 sem.at[sl],
             )
@@ -263,6 +431,12 @@ def _make_kernel_3d_lanemm(sp0, sp1, S2, B0, B1, sl0, sl1, exact=False):
             dma(t + 1, next_slot).start()
 
         dma(t, slot).wait()
+
+        if edges is not None:
+            _apply_edge_fixes(
+                slab, slot, (i, j), (i32(pl.num_programs(0)), g1),
+                edges, cval,
+            )
 
         x = slab[slot]
         acc = (
@@ -588,6 +762,61 @@ def _fused_separable(x, specs, origins, modes, cval, interpret):
         # tile therefore needs the input to extend 128 lanes past it
         lane_out2 = _round_up(shape[-1], 128)
         lane = lane_out2 + 128
+
+    # padless fast path: read the raw input, clamp the DMA windows into
+    # bounds, and let border blocks repair their halos in VMEM — the
+    # whole-array boundary.pad round trip disappears
+    padless = None
+    if lane_mm:
+        padless = _plan_padless_lanemm(
+            shape, halos, pads, modes, cval, lane,
+            np.dtype(dtype).itemsize,
+        )
+    if padless is not None:
+        blocks, slabs, grid, edges = padless
+        xp = x
+        B0, B1 = blocks
+        taps = specs[2][1]
+        Bmat, crow = _banded_lane_matrix(
+            taps, origins[2], shape[2], modes[2], cval
+        )
+        kernel = _make_kernel_3d_lanemm(
+            specs[0], specs[1], lane, B0, B1, slabs[0], slabs[1],
+            exact=interpret,
+            clamp=(
+                pads[0][0], shape[0] - slabs[0],
+                pads[1][0], shape[1] - slabs[1],
+            ),
+            edges=edges, cval=cval,
+        )
+        out = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct(
+                (shape[0], shape[1], lane), dtype
+            ),
+            grid=(grid[0], grid[1]),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (B0, B1, lane),
+                lambda i, j: (i, j, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((2, slabs[0], slabs[1], lane), dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary", "arbitrary"),
+                vmem_limit_bytes=_VMEM_LIMIT,
+            ),
+            interpret=interpret,
+        )(xp, jnp.asarray(Bmat), jnp.asarray(crow[None, :]))
+        return out
+
     blocks = _choose_blocks(
         shape, halos, lane, np.dtype(dtype).itemsize
     )

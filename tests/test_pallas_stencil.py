@@ -193,3 +193,88 @@ class TestFusedMinMax:
             x, size=(3, 1, 3), mode="reflect"
         )
         np.testing.assert_array_equal(got, exp)
+
+
+class TestPadlessLaneMM:
+    """The padless 3-D lane-matmul path (clamped DMA + in-VMEM border
+    patches) must agree exactly with the padded path for every mode it
+    claims, and decline modes it can't patch statically (wrap)."""
+
+    MODES = [
+        "reflect", "nearest", "mirror", "constant", "grid-constant"
+    ]
+
+    def _both(self, x, weights, origins, modes, cval=0.5):
+        import cupyimg_tpu.ops.pallas_stencil as ps
+
+        orig = ps._plan_padless_lanemm
+        used = []
+        def spy(*a_, **k_):
+            plan = orig(*a_, **k_)
+            used.append(plan is not None)
+            return plan
+        ps._plan_padless_lanemm = spy
+        ps._fused_separable.clear_cache()
+        try:
+            a = np.asarray(
+                fused_separable_correlate(
+                    jnp.asarray(x), weights, origins, modes, cval,
+                    interpret=True,
+                )
+            )
+        finally:
+            ps._plan_padless_lanemm = orig
+        assert used and used[0], "padless plan unexpectedly declined"
+        ps._plan_padless_lanemm = lambda *a_, **k_: None
+        ps._fused_separable.clear_cache()
+        try:
+            b = np.asarray(
+                fused_separable_correlate(
+                    jnp.asarray(x), weights, origins, modes, cval,
+                    interpret=True,
+                )
+            )
+        finally:
+            ps._plan_padless_lanemm = orig
+            ps._fused_separable.clear_cache()
+        return a, b
+
+    @pytest.mark.parametrize("mode", MODES)
+    def test_matches_padded(self, mode):
+        rng = np.random.RandomState(3)
+        x = rng.rand(32, 24, 128).astype(np.float32)
+        w = tuple(rng.rand(5).tolist())
+        a, b = self._both(x, (w, w, w), (0, 0, 0), (mode,) * 3)
+        np.testing.assert_array_equal(a, b)
+
+    def test_vs_scipy(self):
+        rng = np.random.RandomState(4)
+        x = rng.rand(32, 24, 128).astype(np.float32)
+        got = _run(
+            x, (UNIFORM5,) * 3, (0, 0, 0), ("reflect",) * 3
+        )
+        exp = sndi.uniform_filter(x.astype(np.float64), 5)
+        np.testing.assert_allclose(got, exp, atol=2e-6)
+
+    def test_origin_and_skip_axis(self):
+        rng = np.random.RandomState(5)
+        x = rng.rand(32, 16, 128).astype(np.float32)
+        w = tuple(rng.rand(4).tolist())
+        a, b = self._both(
+            x, (w, None, w), (1, 0, -1), ("nearest",) * 3
+        )
+        np.testing.assert_array_equal(a, b)
+
+    def test_plan_declines_wrap_and_odd_lane(self):
+        from cupyimg_tpu.ops.pallas_stencil import _plan_padless_lanemm
+
+        halos, pads = [4, 4, 0], [(2, 2), (2, 2), (0, 0)]
+        assert _plan_padless_lanemm(
+            (32, 24, 128), halos, pads, ("wrap",) * 3, 0.0, 128, 4
+        ) is None
+        assert _plan_padless_lanemm(
+            (32, 24, 100), halos, pads, ("reflect",) * 3, 0.0, 128, 4
+        ) is None
+        assert _plan_padless_lanemm(
+            (32, 24, 128), halos, pads, ("reflect",) * 3, 0.0, 128, 4
+        ) is not None
