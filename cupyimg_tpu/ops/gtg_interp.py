@@ -485,7 +485,7 @@ def affine_gtg_2d(x, matrix, offset, order, mode, cval, out_shape,
     try:
         matrix = np.asarray(matrix, dtype=np.float64)
         offset = np.asarray(offset, dtype=np.float64).reshape(2)
-    except Exception:
+    except (TypeError, ValueError):
         return None  # traced transform: static plan impossible
     if mode not in (
         "nearest", "reflect", "mirror", "grid-wrap", "grid-mirror",
@@ -564,7 +564,7 @@ def affine_gtg_batched2d(x, matrix, offset, order, mode, cval,
     try:
         matrix = np.asarray(matrix, dtype=np.float64)
         offset = np.asarray(offset, dtype=np.float64).reshape(2)
-    except Exception:
+    except (TypeError, ValueError):
         return None
     if mode not in (
         "nearest", "reflect", "mirror", "grid-wrap", "grid-mirror",

@@ -106,7 +106,7 @@ def supports_affine(x, matrix, order):
         return False
     try:
         m = np.asarray(matrix)
-    except Exception:
+    except (TypeError, ValueError):
         return False  # traced matrix: block plan cannot be static
     if m.shape != (2, 2) or not np.all(np.isfinite(m)):
         return False

@@ -157,16 +157,22 @@ def _axis_minmax_log(kind, size, arr, axis, out_len):
     return m
 
 
-def _axis_apply_arr(spec, arr, axis, out_len):
+def _axis_apply_arr(spec, arr, axis, out_len, off=0):
     """Like :func:`_axis_apply` but operating on the array directly so
-    min/max can use the logarithmic fold."""
+    min/max can use the logarithmic fold.  ``off`` skips that many
+    leading elements of ``axis`` before the window starts (used by the
+    padless plan's sublane-alignment lead rows)."""
     kind, arg = spec
     if kind != "corr":
+        if off:
+            arr = jax.lax.slice_in_dim(
+                arr, off, arr.shape[axis], axis=axis
+            )
         return _axis_minmax_log(kind, arg, arr, axis, out_len)
 
     def get_slice(k):
         idx = [slice(None)] * arr.ndim
-        idx[axis] = slice(k, k + out_len)
+        idx[axis] = slice(off + k, off + k + out_len)
         return arr[tuple(idx)]
 
     return _axis_corr(arg, get_slice)
@@ -293,9 +299,11 @@ def _plan_padless_lanemm(shape, halos, pads, modes, cval, lane, itemsize):
     input: DMA starts clamp into bounds and border blocks repair their
     halo rows in VMEM (static boundary-index tables), so the pre-pad
     HBM round trip — about half the total time of a 256^3 separable
-    filter — disappears.  Returns (blocks, slabs, grid, edges) or None
-    when the shape/mode combination can't satisfy the static-patch
-    constraints (fallback: the padded path)."""
+    filter — disappears.  Returns (blocks, slabs, grid, edges, lead1)
+    or None when the shape/mode combination can't satisfy the
+    static-patch constraints (fallback: the padded path).  ``lead1`` is
+    the count of sublane-alignment lead rows on axis 1 that the kernel
+    must skip before the axis-1 window starts."""
     if lane != shape[2]:
         return None  # lane tail pad still needed
 
@@ -386,7 +394,7 @@ def _plan_padless_lanemm(shape, halos, pads, modes, cval, lane, itemsize):
 
 
 def _make_kernel_3d_lanemm(sp0, sp1, S2, B0, B1, sl0, sl1, exact=False,
-                           clamp=None, edges=None, cval=0.0):
+                           clamp=None, edges=None, cval=0.0, lead1=0):
     """3-D kernel: sublane-axis passes as shifted adds, lane-axis pass
     as a banded-matrix MXU matmul (3-pass bf16 hi/lo split, ~2^-22
     relative — below the f32 tap-sum roundoff of the shift path)."""
@@ -416,6 +424,10 @@ def _make_kernel_3d_lanemm(sp0, sp1, S2, B0, B1, sl0, sl1, exact=False,
                 lo0, lim0, lo1, lim1 = clamp
                 s0 = jnp.clip(ii * B0 - lo0, 0, lim0)
                 s1 = jnp.clip(jj * B1 - lo1, 0, lim1)
+                # B1, lo1 and lim1 are all multiples of 8 by plan
+                # construction; Mosaic can't prove that through the
+                # clip, so assert the sublane tile alignment
+                s1 = pl.multiple_of(s1, 8)
             return pltpu.make_async_copy(
                 x_any.at[pl.ds(s0, sl0), pl.ds(s1, sl1), :],
                 slab.at[sl],
@@ -444,7 +456,7 @@ def _make_kernel_3d_lanemm(sp0, sp1, S2, B0, B1, sl0, sl1, exact=False,
             if sp0 is not None else x
         )
         acc1 = (
-            _axis_apply_arr(sp1, acc, 1, B1)
+            _axis_apply_arr(sp1, acc, 1, B1, off=lead1)
             if sp1 is not None else acc
         )
         flat = acc1.reshape(B0 * B1, S2)
@@ -773,7 +785,7 @@ def _fused_separable(x, specs, origins, modes, cval, interpret):
             np.dtype(dtype).itemsize,
         )
     if padless is not None:
-        blocks, slabs, grid, edges = padless
+        blocks, slabs, grid, edges, lead1 = padless
         xp = x
         B0, B1 = blocks
         taps = specs[2][1]
@@ -785,9 +797,9 @@ def _fused_separable(x, specs, origins, modes, cval, interpret):
             exact=interpret,
             clamp=(
                 pads[0][0], shape[0] - slabs[0],
-                pads[1][0], shape[1] - slabs[1],
+                pads[1][0] + lead1, shape[1] - slabs[1],
             ),
-            edges=edges, cval=cval,
+            edges=edges, cval=cval, lead1=lead1,
         )
         out = pl.pallas_call(
             kernel,

@@ -401,7 +401,7 @@ def map_gather_2d(x, coords, order, mode, cval, interpret=False):
         return None
     try:
         cval_f = float(cval)
-    except Exception:
+    except (TypeError, ValueError):
         return None  # traced cval: jit-static plumbing impossible
     c0 = jnp.asarray(coords[0], jnp.float32)
     c1 = jnp.asarray(coords[1], jnp.float32)

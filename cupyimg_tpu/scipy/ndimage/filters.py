@@ -372,16 +372,18 @@ def _try_fused_separable(x, axes_params, out_dtype, cval_required=None):
         return None
     if not _ps.supports(x, weights):
         return None
-    try:
-        out = _ps.fused_separable_correlate(
-            x,
-            tuple(weights),
-            tuple(origins),
-            tuple(modes),
-            cvals.pop() if cvals else 0.0,
-        )
-    except Exception:  # pragma: no cover - fall back on any TPU quirk
-        return None
+    # NO try/except here: _ps.supports() is the applicability gate, and
+    # a failure past it is a kernel bug that must surface loudly — a
+    # silent fallback converts kernel bugs into invisible 4x slowdowns
+    # (round-1 postmortem: the padless lane-matmul unpack bug shipped
+    # exactly this way).
+    out = _ps.fused_separable_correlate(
+        x,
+        tuple(weights),
+        tuple(origins),
+        tuple(modes),
+        cvals.pop() if cvals else 0.0,
+    )
     return out.astype(out_dtype)
 
 
@@ -853,18 +855,17 @@ def _min_or_max_filter(
                 ],
             )
         ):
-            try:
-                out = _ps.fused_separable_minmax(
-                    input,
-                    tuple(sizes),
-                    tuple(int(o) for o in origins),
-                    tuple(modes),
-                    float(cval),
-                    bool(is_min),
-                )
-                return out.astype(out_dtype)
-            except Exception:  # pragma: no cover - TPU quirk fallback
-                pass
+            # no try/except: _ps.supports() gates applicability; a
+            # failure past it is a kernel bug that must surface loudly
+            out = _ps.fused_separable_minmax(
+                input,
+                tuple(sizes),
+                tuple(int(o) for o in origins),
+                tuple(modes),
+                float(cval),
+                bool(is_min),
+            )
+            return out.astype(out_dtype)
         x = input
         for axis in range(input.ndim):
             if sizes[axis] > 1:

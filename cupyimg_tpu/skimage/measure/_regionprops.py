@@ -1,6 +1,15 @@
 """regionprops / regionprops_table (reference
 cupyimg/skimage/measure/_regionprops.py).
 
+Architecture: instead of a class with ~45 hand-written ``@property``
+methods, each measurement is a plain function registered in a module
+table (:data:`_REGION_PROPS`) keyed by its public name; the lazy
+``RegionProperties`` object resolves attribute access through that
+table (with per-region memoization) and the column schema for
+``regionprops_table`` is derived from the same registry.  The legacy
+MATLAB-style aliases are generated from the snake_case names by the
+regular camel-case rule plus an irregular-pairs table.
+
 TPU-native deltas vs the reference:
 - the reference calls host ``scipy.ndimage.find_objects`` on the whole
   label image (_regionprops.py:1235); here bounding boxes come from a
@@ -9,15 +18,14 @@ TPU-native deltas vs the reference:
   device-rasterized convex hull instead of CPU skimage
   (_regionprops.py:329-338, 372-394);
 - per-region property math runs on jnp arrays; tiny results (centroids,
-  tensors) come back as host floats at the API boundary, which is where the
-  reference synchronizes too.
+  tensors) come back as host floats at the API boundary, which is where
+  the reference synchronizes too.
 """
 
 from __future__ import annotations
 
 import inspect
-from functools import wraps
-from math import sqrt, atan2, pi as PI
+from math import atan2, pi as PI, sqrt
 from warnings import warn
 
 import numpy as np
@@ -36,164 +44,389 @@ __all__ = [
 ]
 
 
-# legacy (MATLAB-style) name → property name (reference _regionprops.py:18)
-PROPS = {
-    "Area": "area",
+# --------------------------------------------------------------------------
+# measurement registry
+# --------------------------------------------------------------------------
+
+# name -> (func(region) -> value, memoize?, 2-D only?)
+_REGION_PROPS = {}
+
+# measurements that need an intensity image (hidden from iteration when
+# none was supplied; reference _regionprops.py:614-627)
+_NEEDS_INTENSITY = frozenset(
+    {
+        "intensity_image",
+        "max_intensity",
+        "mean_intensity",
+        "min_intensity",
+        "weighted_moments",
+        "weighted_moments_central",
+        "weighted_centroid",
+        "weighted_local_centroid",
+        "weighted_moments_hu",
+        "weighted_moments_normalized",
+    }
+)
+
+
+def _measurement(cache=False, two_d_only=False):
+    """Register a per-region measurement function under its own name."""
+
+    def register(fn):
+        _REGION_PROPS[fn.__name__] = (fn, cache, two_d_only)
+        return fn
+
+    return register
+
+
+# --------------------------------------------------------------------------
+# public name schema (values identical to the reference tables,
+# _regionprops.py:18-139; generated rather than spelled out)
+# --------------------------------------------------------------------------
+
+_SNAKE_NAMES = (
+    "area", "bbox", "bbox_area", "moments_central", "centroid",
+    "convex_area", "convex_image", "coords", "eccentricity",
+    "equivalent_diameter", "euler_number", "extent",
+    "feret_diameter_max", "filled_area", "filled_image", "moments_hu",
+    "image", "inertia_tensor", "inertia_tensor_eigvals",
+    "intensity_image", "label", "local_centroid", "major_axis_length",
+    "max_intensity", "mean_intensity", "min_intensity",
+    "minor_axis_length", "moments", "moments_normalized", "orientation",
+    "perimeter", "perimeter_crofton", "slice", "solidity",
+    "weighted_moments_central", "weighted_centroid",
+    "weighted_moments_hu", "weighted_local_centroid",
+    "weighted_moments", "weighted_moments_normalized",
+)
+
+# legacy aliases that do NOT follow the snake->Camel rule
+_IRREGULAR_ALIASES = {
     "BoundingBox": "bbox",
     "BoundingBoxArea": "bbox_area",
     "CentralMoments": "moments_central",
-    "Centroid": "centroid",
-    "ConvexArea": "convex_area",
-    "ConvexImage": "convex_image",
     "Coordinates": "coords",
-    "Eccentricity": "eccentricity",
-    "EquivDiameter": "equivalent_diameter",
-    "EulerNumber": "euler_number",
-    "Extent": "extent",
-    "FeretDiameterMax": "feret_diameter_max",
-    "FilledArea": "filled_area",
-    "FilledImage": "filled_image",
-    "HuMoments": "moments_hu",
-    "Image": "image",
-    "InertiaTensor": "inertia_tensor",
-    "InertiaTensorEigvals": "inertia_tensor_eigvals",
-    "IntensityImage": "intensity_image",
-    "Label": "label",
-    "LocalCentroid": "local_centroid",
-    "MajorAxisLength": "major_axis_length",
-    "MaxIntensity": "max_intensity",
-    "MeanIntensity": "mean_intensity",
-    "MinIntensity": "min_intensity",
-    "MinorAxisLength": "minor_axis_length",
-    "Moments": "moments",
-    "NormalizedMoments": "moments_normalized",
-    "Orientation": "orientation",
-    "Perimeter": "perimeter",
     "CroftonPerimeter": "perimeter_crofton",
-    "Slice": "slice",
-    "Solidity": "solidity",
+    "EquivDiameter": "equivalent_diameter",
+    "HuMoments": "moments_hu",
+    "NormalizedMoments": "moments_normalized",
     "WeightedCentralMoments": "weighted_moments_central",
-    "WeightedCentroid": "weighted_centroid",
     "WeightedHuMoments": "weighted_moments_hu",
-    "WeightedLocalCentroid": "weighted_local_centroid",
-    "WeightedMoments": "weighted_moments",
     "WeightedNormalizedMoments": "weighted_moments_normalized",
 }
 
+
+def _snake_to_camel(name):
+    return "".join(part.capitalize() for part in name.split("_"))
+
+
+PROPS = {
+    _snake_to_camel(name): name
+    for name in _SNAKE_NAMES
+    if name not in set(_IRREGULAR_ALIASES.values())
+}
+PROPS.update(_IRREGULAR_ALIASES)
+
 OBJECT_COLUMNS = {
-    "image",
-    "coords",
-    "convex_image",
-    "slice",
-    "filled_image",
-    "intensity_image",
+    "image", "coords", "convex_image", "slice",
+    "filled_image", "intensity_image",
 }
 
-COL_DTYPES = {
-    "area": int,
-    "bbox": int,
-    "bbox_area": int,
-    "moments_central": float,
-    "centroid": float,
-    "convex_area": int,
-    "convex_image": object,
-    "coords": object,
-    "eccentricity": float,
-    "equivalent_diameter": float,
-    "euler_number": int,
-    "extent": float,
-    "feret_diameter_max": float,
-    "filled_area": int,
-    "filled_image": object,
-    "moments_hu": float,
-    "image": object,
-    "inertia_tensor": float,
-    "inertia_tensor_eigvals": float,
-    "intensity_image": object,
-    "label": int,
-    "local_centroid": float,
-    "major_axis_length": float,
-    "max_intensity": int,
-    "mean_intensity": float,
-    "min_intensity": int,
-    "minor_axis_length": float,
-    "moments": float,
-    "moments_normalized": float,
-    "orientation": float,
-    "perimeter": float,
-    "perimeter_crofton": float,
-    "slice": object,
-    "solidity": float,
-    "weighted_moments_central": float,
-    "weighted_centroid": float,
-    "weighted_moments_hu": float,
-    "weighted_local_centroid": float,
-    "weighted_moments": float,
-    "weighted_moments_normalized": float,
-}
+_INT_COLUMNS = (
+    "area", "bbox", "bbox_area", "convex_area", "euler_number",
+    "filled_area", "label", "max_intensity", "min_intensity",
+)
+
+COL_DTYPES = {name: int for name in _INT_COLUMNS}
+COL_DTYPES.update({name: object for name in OBJECT_COLUMNS})
+COL_DTYPES.update(
+    {name: float for name in _SNAKE_NAMES if name not in COL_DTYPES}
+)
 
 PROP_VALS = set(PROPS.values())
 
 
-def _infer_number_of_required_args(func):
-    argspec = inspect.getfullargspec(func)
-    n_args = len(argspec.args)
-    if argspec.defaults is not None:
-        n_args -= len(argspec.defaults)
-    return n_args
+# --------------------------------------------------------------------------
+# the measurements (math identical to round 1; bodies are jnp rewrites of
+# the reference's property bodies, _regionprops.py:214-641)
+# --------------------------------------------------------------------------
 
 
-def _infer_regionprop_dtype(func, *, intensity, ndim):
-    """Infer the dtype of an extra-property column
-    (reference _regionprops.py:141-184)."""
-    labels = [1, 2]
-    sample = np.zeros((3,) * ndim, dtype=np.intp)
-    sample[(0,) * ndim] = labels[0]
-    sample[(slice(1, None),) * ndim] = labels[1]
-    propmasks = [jnp.asarray(sample == n) for n in labels]
-    rng = np.random.RandomState(0)
-    if intensity and _infer_number_of_required_args(func) == 2:
-
-        def _func(mask):
-            return func(mask, jnp.asarray(rng.random_sample(sample.shape)))
-
-    else:
-        _func = func
-    props1, props2 = map(_func, propmasks)
-    if (
-        np.isscalar(props1)
-        and np.isscalar(props2)
-        or np.asarray(props1).shape == np.asarray(props2).shape
-    ):
-        dtype = np.asarray(props1).dtype.type
-    else:
-        dtype = np.object_
-    return dtype
+@_measurement(cache=True)
+def area(r):
+    return int(jnp.sum(r.image))
 
 
-def _cached(f):
-    @wraps(f)
-    def wrapper(obj):
-        cache = obj._cache
-        prop = f.__name__
-        if not ((prop in cache) and obj._cache_active):
-            cache[prop] = f(obj)
-        return cache[prop]
-
-    return wrapper
+@_measurement()
+def bbox(r):
+    starts = [r.slice[i].start for i in range(r._ndim)]
+    stops = [r.slice[i].stop for i in range(r._ndim)]
+    return tuple(starts + stops)
 
 
-def only2d(method):
-    @wraps(method)
-    def func2d(self, *args, **kwargs):
-        if self._ndim > 2:
-            raise NotImplementedError(
-                "Property %s is not implemented for "
-                "3D images" % method.__name__
+@_measurement()
+def bbox_area(r):
+    return r.image.size
+
+
+@_measurement()
+def centroid(r):
+    return tuple(np.asarray(r.coords).mean(axis=0))
+
+
+@_measurement(cache=True)
+def convex_area(r):
+    return int(jnp.sum(r.convex_image))
+
+
+@_measurement(cache=True)
+def convex_image(r):
+    from ..morphology.convex_hull import convex_hull_image
+
+    return convex_hull_image(r.image)
+
+
+@_measurement()
+def coords(r):
+    indices = jnp.nonzero(r.image)
+    return jnp.vstack(
+        [indices[i] + r.slice[i].start for i in range(r._ndim)]
+    ).T
+
+
+@_measurement(two_d_only=True)
+def eccentricity(r):
+    l1, l2 = (float(v) for v in r.inertia_tensor_eigvals)
+    return 0 if l1 == 0 else sqrt(1 - l2 / l1)
+
+
+@_measurement()
+def equivalent_diameter(r):
+    if r._ndim == 2:
+        return sqrt(4 * r.area / PI)
+    return (2 * r._ndim * r.area / PI) ** (1 / r._ndim)
+
+
+# shadows the module-level euler_number import inside the registry only
+@_measurement()
+def _region_euler_number(r):
+    if r._ndim not in (2, 3):
+        raise NotImplementedError(
+            "Euler number is implemented for 2D or 3D images only"
+        )
+    return euler_number(r.image, r._ndim)
+
+
+_REGION_PROPS["euler_number"] = _REGION_PROPS.pop("_region_euler_number")
+
+
+@_measurement()
+def extent(r):
+    return r.area / r.image.size
+
+
+@_measurement()
+def feret_diameter_max(r):
+    hull = jnp.pad(r.convex_image, 2, mode="constant", constant_values=0)
+    pts = _surface_midpoints(hull)
+    if pts.shape[0] < 2:
+        return 0.0
+    pts = jnp.asarray(pts)
+    d2 = jnp.sum((pts[:, None, :] - pts[None, :, :]) ** 2, axis=-1)
+    return sqrt(float(jnp.max(d2)))
+
+
+@_measurement()
+def filled_area(r):
+    return int(jnp.sum(r.filled_image))
+
+
+@_measurement(cache=True)
+def filled_image(r):
+    return ndi.binary_fill_holes(r.image, np.ones((3,) * r._ndim))
+
+
+@_measurement(cache=True)
+def image(r):
+    return r._label_image[r.slice] == r.label
+
+
+@_measurement(cache=True)
+def inertia_tensor(r):
+    return _moments.inertia_tensor(r.image, r.moments_central)
+
+
+@_measurement(cache=True)
+def inertia_tensor_eigvals(r):
+    return _moments.inertia_tensor_eigvals(r.image, T=r.inertia_tensor)
+
+
+@_measurement(cache=True)
+def intensity_image(r):
+    if r._intensity_image is None:
+        raise AttributeError("No intensity image specified.")
+    mask = r.image
+    if r._multichannel:
+        mask = jnp.expand_dims(mask, r._ndim)
+    return jnp.asarray(r._intensity_image)[r.slice] * mask
+
+
+@_measurement()
+def local_centroid(r):
+    M = np.asarray(r.moments)
+    return tuple(
+        M[tuple(np.eye(r._ndim, dtype=int))] / M[(0,) * r._ndim]
+    )
+
+
+@_measurement()
+def major_axis_length(r):
+    return 4 * sqrt(float(r.inertia_tensor_eigvals[0]))
+
+
+@_measurement()
+def max_intensity(r):
+    return jnp.max(r.intensity_image[r.image], axis=0)
+
+
+@_measurement()
+def mean_intensity(r):
+    return jnp.mean(r.intensity_image[r.image], axis=0)
+
+
+@_measurement()
+def min_intensity(r):
+    return jnp.min(r.intensity_image[r.image], axis=0)
+
+
+@_measurement()
+def minor_axis_length(r):
+    return 4 * sqrt(float(r.inertia_tensor_eigvals[-1]))
+
+
+@_measurement(cache=True)
+def moments(r):
+    return _moments.moments(r.image.astype(np.uint8), 3)
+
+
+@_measurement(cache=True)
+def moments_central(r):
+    return _moments.moments_central(
+        r.image.astype(np.uint8), r.local_centroid, order=3
+    )
+
+
+@_measurement(two_d_only=True)
+def moments_hu(r):
+    return _moments.moments_hu(r.moments_normalized)
+
+
+@_measurement(cache=True)
+def moments_normalized(r):
+    return _moments.moments_normalized(r.moments_central, 3)
+
+
+@_measurement(two_d_only=True)
+def orientation(r):
+    a, b, _, c = np.asarray(r.inertia_tensor).ravel()
+    if a - c == 0:
+        return -PI / 4.0 if b < 0 else PI / 4.0
+    return 0.5 * atan2(-2 * b, c - a)
+
+
+@_measurement(two_d_only=True)
+def _region_perimeter(r):
+    return float(perimeter(r.image, 4))
+
+
+_REGION_PROPS["perimeter"] = _REGION_PROPS.pop("_region_perimeter")
+
+
+@_measurement(two_d_only=True)
+def _region_perimeter_crofton(r):
+    return float(perimeter_crofton(r.image, 4))
+
+
+_REGION_PROPS["perimeter_crofton"] = _REGION_PROPS.pop(
+    "_region_perimeter_crofton"
+)
+
+
+@_measurement()
+def solidity(r):
+    return r.area / r.convex_area
+
+
+@_measurement()
+def weighted_centroid(r):
+    local = np.asarray(r.weighted_local_centroid)
+    return tuple(c + s.start for c, s in zip(local, r.slice))
+
+
+@_measurement()
+def weighted_local_centroid(r):
+    M = r.weighted_moments
+    return M[tuple(np.eye(r._ndim, dtype=int))] / M[(0,) * r._ndim]
+
+
+def _per_channel(r, fn):
+    """Apply ``fn(plane)`` per intensity channel and stack, or directly
+    for single-channel regions."""
+    img = r.intensity_image.astype(float)
+    if not r._multichannel:
+        return fn(img)
+    return jnp.stack(
+        [fn(img[..., ch]) for ch in range(img.shape[-1])], axis=-1
+    )
+
+
+@_measurement(cache=True)
+def weighted_moments(r):
+    return _per_channel(r, lambda im: _moments.moments(im, order=3))
+
+
+@_measurement(cache=True)
+def weighted_moments_central(r):
+    ctr = r.weighted_local_centroid
+    img = r.intensity_image.astype(float)
+    if not r._multichannel:
+        return _moments.moments_central(img, ctr, order=3)
+    return jnp.stack(
+        [
+            _moments.moments_central(
+                img[..., ch], center=ctr[..., ch], order=3
             )
-        return method(self, *args, **kwargs)
+            for ch in range(img.shape[-1])
+        ],
+        axis=-1,
+    )
 
-    return func2d
+
+@_measurement(two_d_only=True)
+def weighted_moments_hu(r):
+    nu = r.weighted_moments_normalized
+    if not r._multichannel:
+        return _moments.moments_hu(nu)
+    return jnp.stack(
+        [
+            _moments.moments_hu(nu[..., ch])
+            for ch in range(r._intensity_image.shape[-1])
+        ],
+        axis=-1,
+    )
+
+
+@_measurement(cache=True)
+def weighted_moments_normalized(r):
+    mu = r.weighted_moments_central
+    if not r._multichannel:
+        return _moments.moments_normalized(mu, order=3)
+    return jnp.stack(
+        [
+            _moments.moments_normalized(mu[..., ch], order=3)
+            for ch in range(r._intensity_image.shape[-1])
+        ],
+        axis=-1,
+    )
 
 
 def _surface_midpoints(mask):
@@ -207,15 +440,26 @@ def _surface_midpoints(mask):
     mask = np.asarray(mask).astype(bool)
     pts = []
     for ax in range(mask.ndim):
-        sl_a = [slice(None)] * mask.ndim
-        sl_b = [slice(None)] * mask.ndim
-        sl_a[ax] = slice(0, -1)
-        sl_b[ax] = slice(1, None)
-        diff = mask[tuple(sl_a)] != mask[tuple(sl_b)]
-        coords = np.argwhere(diff).astype(float)
-        coords[:, ax] += 0.5
-        pts.append(coords)
+        lo = [slice(None)] * mask.ndim
+        hi = [slice(None)] * mask.ndim
+        lo[ax] = slice(0, -1)
+        hi[ax] = slice(1, None)
+        diff = mask[tuple(lo)] != mask[tuple(hi)]
+        edge = np.argwhere(diff).astype(float)
+        edge[:, ax] += 0.5
+        pts.append(edge)
     return np.concatenate(pts, axis=0)
+
+
+# --------------------------------------------------------------------------
+# the lazy per-region object
+# --------------------------------------------------------------------------
+
+
+def _arg_count(func):
+    """Number of required positional arguments of ``func``."""
+    spec = inspect.getfullargspec(func)
+    return len(spec.args) - len(spec.defaults or ())
 
 
 class RegionProperties:
@@ -231,27 +475,25 @@ class RegionProperties:
         *,
         extra_properties=None,
     ):
+        multichannel = False
         if intensity_image is not None:
             ndim = label_image.ndim
-            if not (
+            shapes_ok = (
                 intensity_image.shape[:ndim] == label_image.shape
-                and intensity_image.ndim in [ndim, ndim + 1]
-            ):
+                and intensity_image.ndim in (ndim, ndim + 1)
+            )
+            if not shapes_ok:
                 raise ValueError(
                     "Label and intensity image shapes must match,"
                     " except for channel (last) axis."
                 )
             multichannel = label_image.shape < intensity_image.shape
-        else:
-            multichannel = False
 
         self.label = label
-
-        self._slice = slice
         self.slice = slice
+        self._slice = slice
         self._label_image = label_image
         self._intensity_image = intensity_image
-
         self._cache_active = cache_active
         self._cache = {}
         self._ndim = label_image.ndim
@@ -259,363 +501,77 @@ class RegionProperties:
         self._spatial_axes = tuple(range(self._ndim))
 
         self._extra_properties = {}
-        if extra_properties is None:
-            extra_properties = []
-        for func in extra_properties:
+        for func in extra_properties or ():
             name = func.__name__
-            if hasattr(self, name):
-                msg = (
+            if name in _REGION_PROPS:
+                warn(
                     f"Extra property '{name}' is shadowed by existing "
                     "property and will be inaccessible. Consider "
                     "renaming it."
                 )
-                warn(msg)
-        self._extra_properties = {
-            func.__name__: func for func in extra_properties
-        }
+            self._extra_properties[name] = func
+
+    def _compute_extra(self, name):
+        func = self._extra_properties[name]
+        n_args = _arg_count(func)
+        if n_args == 1:
+            return func(self.image)
+        if n_args == 2:
+            if self._intensity_image is None:
+                raise AttributeError(
+                    f"intensity image required to calculate {name}"
+                )
+            return func(self.image, self.intensity_image)
+        raise AttributeError(
+            "Custom regionprop function's number of arguments must be 1 "
+            f"or 2 but {name} takes {n_args} arguments."
+        )
 
     def __getattr__(self, attr):
+        # registered measurements win over extra properties, matching the
+        # reference's class-attribute-over-__getattr__ resolution order
+        entry = _REGION_PROPS.get(attr)
+        if entry is not None:
+            fn, memo, two_d_only = entry
+            if two_d_only and self._ndim > 2:
+                raise NotImplementedError(
+                    f"Property {attr} is not implemented for 3D images"
+                )
+            if memo and self._cache_active:
+                if attr not in self._cache:
+                    self._cache[attr] = fn(self)
+                return self._cache[attr]
+            return fn(self)
         if attr in self.__dict__.get("_extra_properties", {}):
-            func = self._extra_properties[attr]
-            n_args = _infer_number_of_required_args(func)
-            if n_args == 2:
-                if self._intensity_image is not None:
-                    return func(self.image, self.intensity_image)
-                else:
-                    raise AttributeError(
-                        f"intensity image required to calculate {attr}"
-                    )
-            elif n_args == 1:
-                return func(self.image)
-            else:
-                raise AttributeError(
-                    "Custom regionprop function's number of arguments "
-                    f"must be 1 or 2 but {attr} takes {n_args} arguments."
-                )
-        else:
-            raise AttributeError(
-                f"'{type(self)}' object has no attribute '{attr}'"
-            )
-
-    @property
-    @_cached
-    def area(self):
-        return int(jnp.sum(self.image))
-
-    @property
-    def bbox(self):
-        return tuple(
-            [self.slice[i].start for i in range(self._ndim)]
-            + [self.slice[i].stop for i in range(self._ndim)]
+            return self._compute_extra(attr)
+        raise AttributeError(
+            f"'{type(self)}' object has no attribute '{attr}'"
         )
-
-    @property
-    def bbox_area(self):
-        return self.image.size
-
-    @property
-    def centroid(self):
-        return tuple(np.asarray(self.coords).mean(axis=0))
-
-    @property
-    @_cached
-    def convex_area(self):
-        return int(jnp.sum(self.convex_image))
-
-    @property
-    @_cached
-    def convex_image(self):
-        from ..morphology.convex_hull import convex_hull_image
-
-        return convex_hull_image(self.image)
-
-    @property
-    def coords(self):
-        indices = jnp.nonzero(self.image)
-        return jnp.vstack(
-            [indices[i] + self.slice[i].start for i in range(self._ndim)]
-        ).T
-
-    @property
-    @only2d
-    def eccentricity(self):
-        l1, l2 = self.inertia_tensor_eigvals
-        l1 = float(l1)
-        l2 = float(l2)
-        if l1 == 0:
-            return 0
-        return sqrt(1 - l2 / l1)
-
-    @property
-    def equivalent_diameter(self):
-        if self._ndim == 2:
-            return sqrt(4 * self.area / PI)
-        return (2 * self._ndim * self.area / PI) ** (1 / self._ndim)
-
-    @property
-    def euler_number(self):
-        if self._ndim not in [2, 3]:
-            raise NotImplementedError(
-                "Euler number is implemented for 2D or 3D images only"
-            )
-        return euler_number(self.image, self._ndim)
-
-    @property
-    def extent(self):
-        return self.area / self.image.size
-
-    @property
-    def feret_diameter_max(self):
-        identity_convex_hull = jnp.pad(
-            self.convex_image, 2, mode="constant", constant_values=0
-        )
-        coordinates = _surface_midpoints(identity_convex_hull)
-        if coordinates.shape[0] < 2:
-            return 0.0
-        # max pairwise distance over the (small) surface point set
-        pts = jnp.asarray(coordinates)
-        d2 = jnp.sum(
-            (pts[:, None, :] - pts[None, :, :]) ** 2, axis=-1
-        )
-        return sqrt(float(jnp.max(d2)))
-
-    @property
-    def filled_area(self):
-        return int(jnp.sum(self.filled_image))
-
-    @property
-    @_cached
-    def filled_image(self):
-        structure = np.ones((3,) * self._ndim)
-        return ndi.binary_fill_holes(self.image, structure)
-
-    @property
-    @_cached
-    def image(self):
-        return self._label_image[self.slice] == self.label
-
-    @property
-    @_cached
-    def inertia_tensor(self):
-        mu = self.moments_central
-        return _moments.inertia_tensor(self.image, mu)
-
-    @property
-    @_cached
-    def inertia_tensor_eigvals(self):
-        return _moments.inertia_tensor_eigvals(
-            self.image, T=self.inertia_tensor
-        )
-
-    @property
-    @_cached
-    def intensity_image(self):
-        if self._intensity_image is None:
-            raise AttributeError("No intensity image specified.")
-        image = (
-            self.image
-            if not self._multichannel
-            else jnp.expand_dims(self.image, self._ndim)
-        )
-        return jnp.asarray(self._intensity_image)[self.slice] * image
-
-    def _intensity_image_double(self):
-        return self.intensity_image.astype(float)
-
-    @property
-    def local_centroid(self):
-        M = self.moments
-        M = np.asarray(M)
-        return tuple(
-            M[tuple(np.eye(self._ndim, dtype=int))] / M[(0,) * self._ndim]
-        )
-
-    @property
-    def max_intensity(self):
-        return jnp.max(self.intensity_image[self.image], axis=0)
-
-    @property
-    def mean_intensity(self):
-        return jnp.mean(self.intensity_image[self.image], axis=0)
-
-    @property
-    def min_intensity(self):
-        return jnp.min(self.intensity_image[self.image], axis=0)
-
-    @property
-    def major_axis_length(self):
-        l1 = float(self.inertia_tensor_eigvals[0])
-        return 4 * sqrt(l1)
-
-    @property
-    def minor_axis_length(self):
-        l2 = float(self.inertia_tensor_eigvals[-1])
-        return 4 * sqrt(l2)
-
-    @property
-    @_cached
-    def moments(self):
-        return _moments.moments(self.image.astype(np.uint8), 3)
-
-    @property
-    @_cached
-    def moments_central(self):
-        return _moments.moments_central(
-            self.image.astype(np.uint8), self.local_centroid, order=3
-        )
-
-    @property
-    @only2d
-    def moments_hu(self):
-        return _moments.moments_hu(self.moments_normalized)
-
-    @property
-    @_cached
-    def moments_normalized(self):
-        return _moments.moments_normalized(self.moments_central, 3)
-
-    @property
-    @only2d
-    def orientation(self):
-        a, b, b, c = np.asarray(self.inertia_tensor).ravel()
-        if a - c == 0:
-            if b < 0:
-                return -PI / 4.0
-            else:
-                return PI / 4.0
-        else:
-            return 0.5 * atan2(-2 * b, c - a)
-
-    @property
-    @only2d
-    def perimeter(self):
-        return float(perimeter(self.image, 4))
-
-    @property
-    @only2d
-    def perimeter_crofton(self):
-        return float(perimeter_crofton(self.image, 4))
-
-    @property
-    def solidity(self):
-        return self.area / self.convex_area
-
-    @property
-    def weighted_centroid(self):
-        ctr = np.asarray(self.weighted_local_centroid)
-        return tuple(
-            idx + slc.start for idx, slc in zip(ctr, self.slice)
-        )
-
-    @property
-    def weighted_local_centroid(self):
-        M = self.weighted_moments
-        return M[tuple(np.eye(self._ndim, dtype=int))] / M[
-            (0,) * self._ndim
-        ]
-
-    @property
-    @_cached
-    def weighted_moments(self):
-        image = self._intensity_image_double()
-        if self._multichannel:
-            moments = jnp.stack(
-                [
-                    _moments.moments(image[..., i], order=3)
-                    for i in range(image.shape[-1])
-                ],
-                axis=-1,
-            )
-        else:
-            moments = _moments.moments(image, order=3)
-        return moments
-
-    @property
-    @_cached
-    def weighted_moments_central(self):
-        ctr = self.weighted_local_centroid
-        image = self._intensity_image_double()
-        if self._multichannel:
-            moments_list = [
-                _moments.moments_central(
-                    image[..., i], center=ctr[..., i], order=3
-                )
-                for i in range(image.shape[-1])
-            ]
-            moments = jnp.stack(moments_list, axis=-1)
-        else:
-            moments = _moments.moments_central(image, ctr, order=3)
-        return moments
-
-    @property
-    @only2d
-    def weighted_moments_hu(self):
-        nu = self.weighted_moments_normalized
-        if self._multichannel:
-            nchannels = self._intensity_image.shape[-1]
-            return jnp.stack(
-                [
-                    _moments.moments_hu(nu[..., i])
-                    for i in range(nchannels)
-                ],
-                axis=-1,
-            )
-        else:
-            return _moments.moments_hu(nu)
-
-    @property
-    @_cached
-    def weighted_moments_normalized(self):
-        mu = self.weighted_moments_central
-        if self._multichannel:
-            nchannels = self._intensity_image.shape[-1]
-            return jnp.stack(
-                [
-                    _moments.moments_normalized(mu[..., i], order=3)
-                    for i in range(nchannels)
-                ],
-                axis=-1,
-            )
-        else:
-            return _moments.moments_normalized(mu, order=3)
-
-    def __iter__(self):
-        props = PROP_VALS
-        if self._intensity_image is None:
-            unavailable_props = (
-                "intensity_image",
-                "max_intensity",
-                "mean_intensity",
-                "min_intensity",
-                "weighted_moments",
-                "weighted_moments_central",
-                "weighted_centroid",
-                "weighted_local_centroid",
-                "weighted_moments_hu",
-                "weighted_moments_normalized",
-            )
-            props = props.difference(unavailable_props)
-        return iter(sorted(props))
 
     def __getitem__(self, key):
         value = getattr(self, key, None)
         if value is not None:
             return value
-        else:  # backwards compatibility
-            return getattr(self, PROPS[key])
+        return getattr(self, PROPS[key])  # legacy alias
+
+    def __iter__(self):
+        names = PROP_VALS
+        if self._intensity_image is None:
+            names = names - _NEEDS_INTENSITY
+        return iter(sorted(names))
 
     def __eq__(self, other):
         if not isinstance(other, RegionProperties):
             return False
-        for key in PROP_VALS:
+        for name in PROP_VALS:
+            mine = getattr(self, name, None)
+            theirs = getattr(other, name, None)
             try:
-                v1 = getattr(self, key, None)
-                v2 = getattr(other, key, None)
-                if isinstance(v1, tuple):
-                    np.testing.assert_equal(v1, v2)
+                if isinstance(mine, tuple):
+                    np.testing.assert_equal(mine, theirs)
                 else:
                     np.testing.assert_array_equal(
-                        np.asarray(v1), np.asarray(v2)
+                        np.asarray(mine), np.asarray(theirs)
                     )
             except AssertionError:
                 return False
@@ -625,99 +581,9 @@ class RegionProperties:
 _RegionProperties = RegionProperties
 
 
-def _props_to_dict(regions, properties=("label", "bbox"), separator="-"):
-    """Convert a regionprops list to a column dictionary
-    (reference _regionprops.py:640-763); columns are host numpy arrays
-    (pandas-ready)."""
-    out = {}
-    n = len(regions)
-    for prop in properties:
-        r = regions[0]
-        rp = getattr(r, prop)
-        if prop in COL_DTYPES:
-            dtype = COL_DTYPES[prop]
-        else:
-            func = r._extra_properties[prop]
-            dtype = _infer_regionprop_dtype(
-                func,
-                intensity=r._intensity_image is not None,
-                ndim=r.image.ndim,
-            )
-        column_buffer = np.zeros(n, dtype=dtype)
-
-        is_0dim_array = (
-            hasattr(rp, "ndim") and getattr(rp, "ndim", None) == 0
-        )
-        if (
-            np.isscalar(rp)
-            or is_0dim_array
-            or prop in OBJECT_COLUMNS
-            or dtype is np.object_
-        ):
-            for i in range(n):
-                column_buffer[i] = regions[i][prop]
-            out[prop] = np.copy(column_buffer)
-        else:
-            if hasattr(rp, "shape"):
-                shape = rp.shape
-            else:
-                shape = (len(rp),)
-
-            for ind in np.ndindex(shape):
-                for k in range(n):
-                    loc = ind if len(ind) > 1 else ind[0]
-                    column_buffer[k] = np.asarray(regions[k][prop])[loc]
-                modified_prop = separator.join(map(str, (prop,) + ind))
-                out[modified_prop] = np.copy(column_buffer)
-    return out
-
-
-def regionprops_table(
-    label_image,
-    intensity_image=None,
-    properties=("label", "bbox"),
-    *,
-    cache=True,
-    separator="-",
-    extra_properties=None,
-):
-    """Compute image properties as a pandas-compatible table
-    (reference _regionprops.py:767-939)."""
-    regions = regionprops(
-        label_image,
-        intensity_image=intensity_image,
-        cache=cache,
-        extra_properties=extra_properties,
-    )
-    if extra_properties is not None:
-        properties = list(properties) + [
-            prop.__name__ for prop in extra_properties
-        ]
-    if len(regions) == 0:
-        ndim = label_image.ndim
-        label_image = np.zeros((3,) * ndim, dtype=int)
-        label_image[(1,) * ndim] = 1
-        label_image = jnp.asarray(label_image)
-        if intensity_image is not None:
-            intensity_image = jnp.zeros(
-                label_image.shape
-                + jnp.asarray(intensity_image).shape[ndim:],
-                dtype=intensity_image.dtype,
-            )
-        regions = regionprops(
-            label_image,
-            intensity_image=intensity_image,
-            cache=cache,
-            extra_properties=extra_properties,
-        )
-        out_d = _props_to_dict(
-            regions, properties=properties, separator=separator
-        )
-        return {k: v[:0] for k, v in out_d.items()}
-
-    return _props_to_dict(
-        regions, properties=properties, separator=separator
-    )
+# --------------------------------------------------------------------------
+# drivers
+# --------------------------------------------------------------------------
 
 
 def regionprops(
@@ -749,43 +615,156 @@ def regionprops(
                 "or label_image.astype(np.uint8) to interpret "
                 "the True values as a single label."
             )
-        else:
-            raise TypeError("Non-integer label_image types are ambiguous")
+        raise TypeError("Non-integer label_image types are ambiguous")
 
-    if coordinates is not None:
-        if coordinates == "rc":
-            msg = (
-                "The coordinates keyword argument to "
-                "skimage.measure.regionprops is deprecated. "
-                "All features are now computed in rc (row-column) "
-                "coordinates. Please remove `coordinates=\"rc\"` from "
-                "all calls to regionprops before updating scikit-image."
-            )
-            warn(msg, stacklevel=2, category=FutureWarning)
-        else:
-            msg = (
-                'Values other than "rc" for the "coordinates" argument '
-                "to skimage.measure.regionprops are no longer "
-                "supported. You should update your code to use \"rc\" "
-                "coordinates and stop using the \"coordinates\" "
-                "argument, or use skimage version 0.15.x or earlier."
-            )
-            raise ValueError(msg)
+    _check_coordinates_kwarg(coordinates)
 
-    regions = []
-    objects = ndi.find_objects(label_image)
-    for i, sl in enumerate(objects):
-        if sl is None:
-            continue
-        label = i + 1
-        props = RegionProperties(
-            sl,
-            label,
+    return [
+        RegionProperties(
+            bounds,
+            lab,
             label_image,
             intensity_image,
             cache,
             extra_properties=extra_properties,
         )
-        regions.append(props)
+        for lab, bounds in enumerate(ndi.find_objects(label_image), 1)
+        if bounds is not None
+    ]
 
-    return regions
+
+def _check_coordinates_kwarg(coordinates):
+    """Reject/deprecate the pre-0.16 ``coordinates`` kwarg exactly as the
+    reference does (_regionprops.py:1206-1232)."""
+    if coordinates is None:
+        return
+    if coordinates == "rc":
+        warn(
+            "The coordinates keyword argument to "
+            "skimage.measure.regionprops is deprecated. "
+            "All features are now computed in rc (row-column) "
+            "coordinates. Please remove `coordinates=\"rc\"` from "
+            "all calls to regionprops before updating scikit-image.",
+            stacklevel=3,
+            category=FutureWarning,
+        )
+    else:
+        raise ValueError(
+            'Values other than "rc" for the "coordinates" argument '
+            "to skimage.measure.regionprops are no longer "
+            "supported. You should update your code to use \"rc\" "
+            "coordinates and stop using the \"coordinates\" "
+            "argument, or use skimage version 0.15.x or earlier."
+        )
+
+
+def _infer_regionprop_dtype(func, *, intensity, ndim):
+    """Infer the column dtype of an extra property by probing it on two
+    tiny synthetic regions (reference _regionprops.py:141-184)."""
+    sample = np.zeros((3,) * ndim, dtype=np.intp)
+    sample[(0,) * ndim] = 1
+    sample[(slice(1, None),) * ndim] = 2
+    masks = (jnp.asarray(sample == 1), jnp.asarray(sample == 2))
+    if intensity and _arg_count(func) == 2:
+        rng = np.random.RandomState(0)
+
+        def probe(mask):
+            return func(mask, jnp.asarray(rng.random_sample(sample.shape)))
+
+    else:
+        probe = func
+    first, second = probe(masks[0]), probe(masks[1])
+    scalars = np.isscalar(first) and np.isscalar(second)
+    if scalars or np.asarray(first).shape == np.asarray(second).shape:
+        return np.asarray(first).dtype.type
+    return np.object_
+
+
+def _column_dtype(sample_region, prop):
+    if prop in COL_DTYPES:
+        return COL_DTYPES[prop]
+    return _infer_regionprop_dtype(
+        sample_region._extra_properties[prop],
+        intensity=sample_region._intensity_image is not None,
+        ndim=sample_region.image.ndim,
+    )
+
+
+def _props_to_dict(regions, properties=("label", "bbox"), separator="-"):
+    """Convert a regionprops list to a column dictionary
+    (reference _regionprops.py:640-763); columns are host numpy arrays
+    (pandas-ready)."""
+    out = {}
+    n = len(regions)
+    for prop in properties:
+        dtype = _column_dtype(regions[0], prop)
+        sample = getattr(regions[0], prop)
+        scalar_like = (
+            np.isscalar(sample)
+            or getattr(sample, "ndim", None) == 0
+            or prop in OBJECT_COLUMNS
+            or dtype is np.object_
+        )
+        if scalar_like:
+            column = np.empty(n, dtype=dtype)
+            for k, region in enumerate(regions):
+                column[k] = region[prop]
+            out[prop] = column
+            continue
+        # fixed-shape vector/tensor property: one column per element
+        shape = sample.shape if hasattr(sample, "shape") else (len(sample),)
+        values = [np.asarray(region[prop]) for region in regions]
+        for ind in np.ndindex(shape):
+            loc = ind if len(ind) > 1 else ind[0]
+            column = np.empty(n, dtype=dtype)
+            for k in range(n):
+                column[k] = values[k][loc]
+            out[separator.join(map(str, (prop,) + ind))] = column
+    return out
+
+
+def regionprops_table(
+    label_image,
+    intensity_image=None,
+    properties=("label", "bbox"),
+    *,
+    cache=True,
+    separator="-",
+    extra_properties=None,
+):
+    """Compute image properties as a pandas-compatible table
+    (reference _regionprops.py:767-939)."""
+    regions = regionprops(
+        label_image,
+        intensity_image=intensity_image,
+        cache=cache,
+        extra_properties=extra_properties,
+    )
+    if extra_properties is not None:
+        properties = list(properties) + [
+            fn.__name__ for fn in extra_properties
+        ]
+    if regions:
+        return _props_to_dict(
+            regions, properties=properties, separator=separator
+        )
+    # empty input: build the schema from a dummy single-pixel region and
+    # return 0-row columns (reference _regionprops.py:918-939)
+    ndim = label_image.ndim
+    dummy = np.zeros((3,) * ndim, dtype=int)
+    dummy[(1,) * ndim] = 1
+    if intensity_image is not None:
+        intensity_image = jnp.zeros(
+            dummy.shape + jnp.asarray(intensity_image).shape[ndim:],
+            dtype=intensity_image.dtype,
+        )
+    regions = regionprops(
+        jnp.asarray(dummy),
+        intensity_image=intensity_image,
+        cache=cache,
+        extra_properties=extra_properties,
+    )
+    table = _props_to_dict(
+        regions, properties=properties, separator=separator
+    )
+    return {name: column[:0] for name, column in table.items()}

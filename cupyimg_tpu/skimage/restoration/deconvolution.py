@@ -22,6 +22,19 @@ from . import uft
 __keywords__ = "restoration, image, deconvolution"
 
 
+def _clip_pm1(x):
+    """``x[x > 1] = 1; x[x < -1] = -1`` with the reference's semantics
+    (deconvolution.py:138-141): CuPy/legacy-NumPy order complex values
+    lexicographically by (real, imag), and the masked assignment zeroes
+    the imaginary part of clipped pixels."""
+    if not jnp.iscomplexobj(x):
+        return jnp.clip(x, -1, 1)
+    gt = (x.real > 1) | ((x.real == 1) & (x.imag > 0))
+    lt = (x.real < -1) | ((x.real == -1) & (x.imag < 0))
+    one = jnp.asarray(1.0, x.dtype)
+    return jnp.where(gt, one, jnp.where(lt, -one, x))
+
+
 def wiener(image, psf, balance, reg=None, is_real=True, clip=True):
     r"""Wiener-Hunt deconvolution (Fourier diagonalization), skimage
     parity (reference deconvolution.py:13-145)."""
@@ -49,7 +62,7 @@ def wiener(image, psf, balance, reg=None, is_real=True, clip=True):
         deconv = uft.uifft2(wiener_filter * uft.ufft2(image))
 
     if clip:
-        deconv = jnp.clip(deconv, -1, 1)
+        deconv = _clip_pm1(deconv)
     return deconv
 
 
@@ -187,7 +200,7 @@ def unsupervised_wiener(
         x_postmean = uft.uifft2(x_postmean)
 
     if clip:
-        x_postmean = jnp.clip(x_postmean, -1, 1)
+        x_postmean = _clip_pm1(x_postmean)
 
     return (x_postmean, {"noise": gn_chain, "prior": gx_chain})
 
@@ -238,5 +251,5 @@ def richardson_lucy(
     )
 
     if clip:
-        im_deconv = jnp.clip(im_deconv, -1, 1)
+        im_deconv = _clip_pm1(im_deconv)
     return im_deconv
