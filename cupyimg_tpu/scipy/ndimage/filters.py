@@ -79,8 +79,17 @@ def _cast_output(acc, out_dtype):
         acc = acc.real
     if out_dtype.kind in "iu" and np.dtype(acc.dtype).kind == "f":
         # scipy's C cast truncates toward zero and wraps on overflow (incl.
-        # negative -> unsigned); JAX saturates, so go through int64.
-        acc = jnp.trunc(acc).astype(np.int64)
+        # negative -> unsigned); JAX saturates, so go through int64.  Values
+        # beyond int64 range (uint64 intermediates round-tripped through
+        # f64) are first reduced mod 2^64 into the int64 window — the
+        # float->int64 conversion itself saturates, which would otherwise
+        # pin them at int64 max instead of wrapping.
+        acc = jnp.trunc(acc)
+        two63, two64 = 2.0 ** 63, 2.0 ** 64
+        big = (acc >= two63) | (acc < -two63)
+        wrapped = acc - jnp.floor(acc / two64) * two64
+        wrapped = jnp.where(wrapped >= two63, wrapped - two64, wrapped)
+        acc = jnp.where(big, wrapped, acc).astype(np.int64)
     return acc.astype(out_dtype)
 
 
@@ -145,6 +154,8 @@ def _correlate_or_convolve(
         )
         out_dtype = dtypes.resolve_output_dtype(output, input.dtype, acc_dtype)
 
+    if input.size == 0:  # scipy passes empty inputs through shape-preserved
+        return jnp.zeros(input.shape, out_dtype)
     acc = stencil.correlate_nd(input, weights, mode, cval, origins, acc_dtype)
     return _cast_output(acc, out_dtype)
 
@@ -246,6 +257,8 @@ def _correlate1d(
         )
         out_dtype = dtypes.resolve_output_dtype(output, input.dtype, acc_dtype)
 
+    if crop and input.size == 0:  # scipy shape-preserves empty inputs
+        return jnp.zeros(input.shape, out_dtype)
     if crop:
         acc = stencil.correlate1d_axis(
             input, weights, axis, mode, cval, origin, acc_dtype
@@ -594,10 +607,15 @@ def _prewitt_or_sobel(input, axis, output, mode, cval, smooth, dtype_mode):
     input = jnp.asarray(input)
     axis = util.check_axis(axis, input.ndim)
     modes = util.fix_sequence_arg(mode, input.ndim, "mode", str)
-    axes_params = []
+    # scipy runs the derivative pass FIRST, then the smoothing axes in
+    # ascending order; each pass casts into the output dtype, so the pass
+    # order is observable for integer outputs (wraparound between passes).
+    axes_params = [
+        (axis, np.array([-1.0, 0.0, 1.0]), modes[axis], cval, 0)
+    ]
     for ax in range(input.ndim):
-        weights = np.array([-1.0, 0.0, 1.0]) if ax == axis else smooth
-        axes_params.append((ax, weights, modes[ax], cval, 0))
+        if ax != axis:
+            axes_params.append((ax, smooth, modes[ax], cval, 0))
     return _run_1d_filters(input, axes_params, output, dtype_mode)
 
 

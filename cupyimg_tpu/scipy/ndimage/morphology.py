@@ -123,6 +123,9 @@ def _iterate_binary_op(x0, step, iterations, mask):
     an on-device ``any`` reduction, no host syncs (unlike reference
     morphology.py:313-321).
     """
+    if not isinstance(iterations, (int, np.integer)):
+        # scipy rejects float iteration counts (test_binary_erosion38)
+        raise TypeError("iterations must be an integer")
     if mask is not None:
         mask = jnp.asarray(mask) != 0
 
