@@ -102,9 +102,12 @@ def label(input, structure=None, output=None, *, greyscale_mode=False):
     are equal (the reference's extension backing skimage.measure.label).
     """
     x = jnp.asarray(input)
+    if x.ndim < 1:
+        # scipy labels a scalar as a single (0-d) component
+        lab1, num = label(x.reshape(1), structure=None, output=output,
+                          greyscale_mode=greyscale_mode)
+        return lab1.reshape(()), num
     ndim = x.ndim
-    if ndim < 1:
-        raise ValueError("input must have at least 1 dimension")
     offsets = _structure_offsets(structure, ndim)
     # full-box structure (all 3^ndim - 1 neighbors)? then propagation is
     # one reduce_window min, which compiles and runs far faster than the
@@ -435,10 +438,19 @@ def _position_of(input, labels, index, is_min):
     per = _segment_minmax(x, labels, num_seg, is_min)
     target = per[labels.ravel().astype(np.int32)]
     hit = x.ravel() == target
-    pos = jnp.where(hit, jnp.arange(n), n)
-    first = jax.ops.segment_min(
-        pos, labels.ravel().astype(np.int32), num_segments=num_seg
-    )
+    # scipy's sort-based _select tie convention (with an explicit index):
+    # minima report the FIRST raveled hit, maxima the LAST (stable sort by
+    # (label, value) leaves the largest position at the segment end).
+    if is_min:
+        pos = jnp.where(hit, jnp.arange(n), n)
+        first = jax.ops.segment_min(
+            pos, labels.ravel().astype(np.int32), num_segments=num_seg
+        )
+    else:
+        pos = jnp.where(hit, jnp.arange(n), -1)
+        first = jax.ops.segment_max(
+            pos, labels.ravel().astype(np.int32), num_segments=num_seg
+        )
     flats = np.asarray(first[jnp.asarray(np.clip(index, 0, num_seg - 1))])
     flats = np.where(present, flats, 0)  # absent (extrema): position 0
     out = [
@@ -637,6 +649,10 @@ def find_objects(input, max_label=0):
     crosses to the host.
     """
     x = jnp.asarray(input)
+    if x.ndim == 0:
+        # scipy: a nonzero scalar is one object with an empty slice tuple
+        n = max_label if max_label > 0 else int(x)
+        return [() if lbl == int(x) else None for lbl in range(1, n + 1)]
     if max_label <= 0:
         max_label = int(jnp.max(x)) if x.size else 0
     if max_label <= 0:
