@@ -36,42 +36,52 @@ def _get_fft_axes(x, n, axis):
 
 
 def _output_dtype(x):
+    """scipy's _get_output_fourier: single precision is preserved,
+    everything else promotes to double (complex or real)."""
     dt = np.dtype(x.dtype)
-    if dt.kind == "c":
+    if dt == np.complex64 or dt == np.float32:
         return dt
-    return np.promote_types(dt, np.float64)
+    if dt.kind == "c":
+        return np.dtype(np.complex128)
+    return np.dtype(np.float64)
 
 
 def fourier_gaussian(input, sigma, n=-1, axis=-1, output=None):
     """Multiply by a Gaussian frequency response (scipy parity)."""
     x = jnp.asarray(input)
     sigmas = util.fix_sequence_arg(sigma, x.ndim, "sigma", float)
-    out = x.astype(_output_dtype(x))
+    dt = _output_dtype(x)
+    out = x
     for f, s in zip(_get_fft_axes(x, n, axis), sigmas):
+        # response math in f64 (scipy's C loop does the same), one cast at
+        # the end so single-precision inputs stay single precision
         out = out * jnp.exp(-2.0 * (np.pi * s) ** 2 * f * f)
-    return out
+    return out.astype(dt)
 
 
 def fourier_uniform(input, size, n=-1, axis=-1, output=None):
     """Multiply by a box-filter frequency response (scipy parity)."""
     x = jnp.asarray(input)
     sizes = util.fix_sequence_arg(size, x.ndim, "size", float)
-    out = x.astype(_output_dtype(x))
+    dt = _output_dtype(x)
+    out = x
     for f, s in zip(_get_fft_axes(x, n, axis), sizes):
         out = out * jnp.sinc(f * s)
-    return out
+    return out.astype(dt)
 
 
 def fourier_shift(input, shift, n=-1, axis=-1, output=None):
     """Multiply by a shift phase ramp (scipy parity)."""
     x = jnp.asarray(input)
     shifts = util.fix_sequence_arg(shift, x.ndim, "shift", float)
-    dt = np.dtype(x.dtype)
-    cplx = np.promote_types(dt, np.complex128)
-    out = x.astype(cplx)
+    # scipy's complex-output variant: complex64 is preserved, everything
+    # else promotes to complex128
+    cplx = (np.dtype(np.complex64) if np.dtype(x.dtype) == np.complex64
+            else np.dtype(np.complex128))
+    out = x
     for f, s in zip(_get_fft_axes(x, n, axis), shifts):
         out = out * jnp.exp(-2j * np.pi * s * f)
-    return out
+    return out.astype(cplx)
 
 
 def fourier_ellipsoid(input, size, n=-1, axis=-1, output=None):
@@ -86,7 +96,8 @@ def fourier_ellipsoid(input, size, n=-1, axis=-1, output=None):
         return x.astype(_output_dtype(x))
     sizes = util.fix_sequence_arg(size, x.ndim, "size", float)
     freqs = _get_fft_axes(x, n, axis)
-    out = x.astype(_output_dtype(x))
+    dt = _output_dtype(x)
+    out = x
     # radial coordinate of the scaled frequency vector
     r2 = None
     for f, s in zip(freqs, sizes):
@@ -107,4 +118,4 @@ def fourier_ellipsoid(input, size, n=-1, axis=-1, output=None):
         resp = jnp.where(
             r == 0, 1.0, 3.0 * (jnp.sin(z) - z * jnp.cos(z)) / (z ** 3)
         )
-    return out * resp
+    return (out * resp).astype(dt)
