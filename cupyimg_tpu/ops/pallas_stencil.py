@@ -203,6 +203,87 @@ def _axis_corr(w, get_slice):
     return acc
 
 
+def _roll_lane(arr, shift, interpret):
+    """Circular shift along the lane (last) axis; jnp.roll semantics
+    (element j of the result is input element j - shift, mod n)."""
+    n = arr.shape[-1]
+    shift %= n
+    if shift == 0:
+        return arr
+    if interpret:
+        return jnp.roll(arr, shift, axis=arr.ndim - 1)
+    return pltpu.roll(arr, shift, arr.ndim - 1)
+
+
+def _lane_apply_circ(spec, arr, lo, hi, mode, cval, interpret):
+    """Apply a 1-D spec along the lane axis with circular indexing plus
+    static boundary-column repair: the body is computed with hardware
+    lane rotations (``pltpu.roll``), and only the ``lo`` left / ``hi``
+    right output columns — whose circular windows wrapped around — are
+    rebuilt from boundary-mapped single-column slices.
+
+    This is the padless lane-axis treatment for ops the banded-matrix
+    trick can't serve (min/max are not linear), and is also cheaper
+    than the MXU matmul for small tap counts.
+    """
+    kind, arg = spec
+    n = arr.shape[-1]
+    size = arg if kind != "corr" else len(arg)
+
+    if kind == "corr":
+        acc = None
+        for k, w in enumerate(arg):
+            term = w * _roll_lane(arr, lo - k, interpret)
+            acc = term if acc is None else acc + term
+        out = acc
+    else:
+        op = jnp.minimum if kind == "min" else jnp.maximum
+        m = arr
+        span = 1
+        while span < size:
+            s = min(span, size - span)
+            m = op(m, _roll_lane(m, -s, interpret))
+            span += s
+        out = _roll_lane(m, lo, interpret)
+
+    if mode in ("wrap", "grid-wrap") or (lo == 0 and hi == 0):
+        return out  # circular IS the boundary mode
+
+    def fixed_col(j):
+        src = np.arange(size) + j - lo
+        mapped, oob = boundary.map_indices_np(src, n, mode)
+        vals = []
+        for k, (mi, ob) in enumerate(zip(mapped, oob)):
+            if ob:
+                col = jnp.full(arr.shape[:-1] + (1,), cval, arr.dtype)
+            else:
+                col = jax.lax.slice_in_dim(
+                    arr, int(mi), int(mi) + 1, axis=arr.ndim - 1
+                )
+            if kind == "corr":
+                col = arg[k] * col
+            vals.append(col)
+        if kind == "corr":
+            v = vals[0]
+            for c in vals[1:]:
+                v = v + c
+            return v
+        op2 = jnp.minimum if kind == "min" else jnp.maximum
+        v = vals[0]
+        for c in vals[1:]:
+            v = op2(v, c)
+        return v
+
+    # lane-masked writes: Mosaic rejects lane-axis concatenation of
+    # 1-wide columns (offset mismatch), so each repaired column is
+    # broadcast across lanes and selected by an iota mask instead
+    lane_idx = jax.lax.broadcasted_iota(jnp.int32, out.shape,
+                                        out.ndim - 1)
+    for j in list(range(lo)) + list(range(n - hi, n)):
+        out = jnp.where(lane_idx == j, fixed_col(j), out)
+    return out
+
+
 def _banded_lane_matrix(taps, origin, n, mode, cval):
     """(n, n) matrix B and additive row c such that ``x @ B + c`` equals
     the 1-D boundary-extended correlation along the lane axis.
@@ -474,6 +555,78 @@ def _make_kernel_3d_lanemm(sp0, sp1, S2, B0, B1, sl0, sl1, exact=False,
                 flo, bhi, preferred_element_type=jnp.float32)
         out = out + crow[:]
         out_ref[:] = out.reshape(B0, B1, S2).astype(out_ref.dtype)
+
+    return kernel
+
+
+def _make_kernel_3d_laneroll(sp0, sp1, sp2, B0, B1, sl0, sl1,
+                             lane_edge, mode2, cval=0.0, exact=False,
+                             clamp=None, edges=None, lead1=0):
+    """3-D padless kernel for ANY per-axis spec mix: sublane-axis passes
+    as shifted slices, lane-axis pass with circular hardware rotations +
+    static boundary-column repair (:func:`_lane_apply_circ`).  Unlike the
+    banded-matmul variant this serves min/max (non-linear) lane passes,
+    and for small tap counts it beats the MXU matmul on the VPU.
+    ``lane_edge`` is (lo2, hi2) of the lane window."""
+
+    def kernel(x_any, out_ref, slab, sem):
+        i32 = lambda v: jnp.asarray(v, jnp.int32)  # noqa: E731
+        i = i32(pl.program_id(0))
+        j = i32(pl.program_id(1))
+        g1 = i32(pl.num_programs(1))
+        t = i * g1 + j
+        n_t = i32(pl.num_programs(0)) * g1
+        two = jnp.asarray(2, t.dtype)
+        slot = jax.lax.rem(t, two)
+        next_slot = jax.lax.rem(t + 1, two)
+
+        def dma(tt, sl):
+            ii = jnp.asarray(jax.lax.div(tt, g1), jnp.int32)
+            jj = jnp.asarray(jax.lax.rem(tt, g1), jnp.int32)
+            if clamp is None:
+                s0, s1 = ii * B0, jj * B1
+            else:
+                lo0, lim0, lo1, lim1 = clamp
+                s0 = jnp.clip(ii * B0 - lo0, 0, lim0)
+                s1 = jnp.clip(jj * B1 - lo1, 0, lim1)
+                s1 = pl.multiple_of(s1, 8)
+            return pltpu.make_async_copy(
+                x_any.at[pl.ds(s0, sl0), pl.ds(s1, sl1), :],
+                slab.at[sl],
+                sem.at[sl],
+            )
+
+        @pl.when(t == 0)
+        def _():
+            dma(t, slot).start()
+
+        @pl.when(t + 1 < n_t)
+        def _():
+            dma(t + 1, next_slot).start()
+
+        dma(t, slot).wait()
+
+        if edges is not None:
+            _apply_edge_fixes(
+                slab, slot, (i, j), (i32(pl.num_programs(0)), g1),
+                edges, cval,
+            )
+
+        x = slab[slot]
+        acc = (
+            _axis_apply_arr(sp0, x, 0, B0)
+            if sp0 is not None else x
+        )
+        acc = (
+            _axis_apply_arr(sp1, acc, 1, B1, off=lead1)
+            if sp1 is not None else acc
+        )
+        if sp2 is not None:
+            acc = _lane_apply_circ(
+                sp2, acc, lane_edge[0], lane_edge[1], mode2, cval,
+                exact,
+            )
+        out_ref[:] = acc.astype(out_ref.dtype)
 
     return kernel
 
@@ -828,6 +981,65 @@ def _fused_separable(x, specs, origins, modes, cval, interpret):
             interpret=interpret,
         )(xp, jnp.asarray(Bmat), jnp.asarray(crow[None, :]))
         return out
+
+    # padless roll path: same clamped-DMA + in-VMEM halo repair as the
+    # lane-matmul plan, but the lane axis runs as circular hardware
+    # rotations with static boundary-column repair — this serves min/max
+    # (non-linear, so no banded matrix exists) and small-tap correlations
+    if (
+        ndim == 3
+        and shape[2] >= 128
+        and shape[2] % 128 == 0
+        and np.dtype(dtype).itemsize == 4
+    ):
+        if specs[2] is None:
+            lo2 = hi2 = 0
+        else:
+            size2 = _spec_size(specs[2])
+            lo2 = size2 // 2 + origins[2]
+            hi2 = size2 - 1 - lo2
+        if lo2 + hi2 < shape[2]:
+            plan = _plan_padless_lanemm(
+                shape, [halos[0], halos[1], 0],
+                [pads[0], pads[1], (0, 0)], modes, cval, shape[2],
+                np.dtype(dtype).itemsize,
+            )
+        else:
+            plan = None
+        if plan is not None:
+            blocks, slabs, grid, edges, lead1 = plan
+            B0, B1 = blocks
+            kernel = _make_kernel_3d_laneroll(
+                specs[0], specs[1], specs[2], B0, B1,
+                slabs[0], slabs[1], (lo2, hi2), modes[2], cval=cval,
+                exact=interpret,
+                clamp=(
+                    pads[0][0], shape[0] - slabs[0],
+                    pads[1][0] + lead1, shape[1] - slabs[1],
+                ),
+                edges=edges, lead1=lead1,
+            )
+            out = pl.pallas_call(
+                kernel,
+                out_shape=jax.ShapeDtypeStruct(shape, dtype),
+                grid=(grid[0], grid[1]),
+                in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+                out_specs=pl.BlockSpec(
+                    (B0, B1, shape[2]),
+                    lambda i, j: (i, j, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                scratch_shapes=[
+                    pltpu.VMEM((2, slabs[0], slabs[1], shape[2]), dtype),
+                    pltpu.SemaphoreType.DMA((2,)),
+                ],
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=("arbitrary", "arbitrary"),
+                    vmem_limit_bytes=_VMEM_LIMIT,
+                ),
+                interpret=interpret,
+            )(x)
+            return out
 
     blocks = _choose_blocks(
         shape, halos, lane, np.dtype(dtype).itemsize

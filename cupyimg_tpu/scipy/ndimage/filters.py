@@ -383,6 +383,18 @@ def _try_fused_separable(x, axes_params, out_dtype, cval_required=None):
         cvals.add(float(cval))
     if len(cvals) > 1:
         return None
+    cval = cvals.pop() if cvals else 0.0
+    if cval != 0.0 and any(
+        m in ("constant", "grid-constant") for m in modes
+    ):
+        # The fused kernel extends the RAW input once with cval; scipy's
+        # separable filters re-extend each pass's OUTPUT with cval.  The
+        # two agree iff cval is 0 or every filtered axis's taps sum to 1
+        # (uniform/gaussian-order-0); derivative kernels must take the
+        # sequential path.
+        for w in weights:
+            if w is not None and abs(sum(w) - 1.0) > 1e-9:
+                return None
     if not _ps.supports(x, weights):
         return None
     # NO try/except here: _ps.supports() is the applicability gate, and
@@ -395,7 +407,7 @@ def _try_fused_separable(x, axes_params, out_dtype, cval_required=None):
         tuple(weights),
         tuple(origins),
         tuple(modes),
-        cvals.pop() if cvals else 0.0,
+        cval,
     )
     return out.astype(out_dtype)
 

@@ -278,3 +278,78 @@ class TestPadlessLaneMM:
         assert _plan_padless_lanemm(
             (32, 24, 128), halos, pads, ("reflect",) * 3, 0.0, 128, 4
         ) is not None
+
+
+class TestPadlessLaneRoll:
+    """Padless 3-D kernel with circular lane rotations + static edge
+    repair (min/max lane passes and >768-lane correlations)."""
+
+    MODES5 = ["reflect", "nearest", "mirror", "constant", "wrap"]
+
+    @pytest.mark.parametrize("mode", MODES5)
+    @pytest.mark.parametrize("size", [3, 4, 5])
+    def test_minmax_vs_scipy(self, mode, size):
+        from cupyimg_tpu.ops.pallas_stencil import fused_separable_minmax
+
+        x = np.random.RandomState(0).randn(24, 32, 256).astype(np.float32)
+        got = np.asarray(
+            fused_separable_minmax(
+                jnp.asarray(x), (size,) * 3, (0, 0, 0), (mode,) * 3,
+                cval=0.25, is_min=True, interpret=True,
+            )
+        )
+        exp = sndi.minimum_filter(x, size=size, mode=mode, cval=0.25)
+        np.testing.assert_array_equal(got, exp)
+
+    def test_max_with_origins(self):
+        from cupyimg_tpu.ops.pallas_stencil import fused_separable_minmax
+
+        x = np.random.RandomState(1).randn(24, 32, 256).astype(np.float32)
+        got = np.asarray(
+            fused_separable_minmax(
+                jnp.asarray(x), (5, 3, 5), (1, -1, 2), ("reflect",) * 3,
+                is_min=False, interpret=True,
+            )
+        )
+        exp = sndi.maximum_filter(x, size=(5, 3, 5), origin=(1, -1, 2),
+                                  mode="reflect")
+        np.testing.assert_array_equal(got, exp)
+
+    @pytest.mark.parametrize("mode", ["reflect", "wrap", "nearest"])
+    def test_corr_wide_lane_vs_scipy(self, mode):
+        # 896 lanes (> the lane-matmul's 768 gate, 128-multiple) routes
+        # correlations through the roll kernel
+        rng = np.random.RandomState(2)
+        x = rng.randn(16, 24, 896).astype(np.float32)
+        w = rng.rand(5)
+        w = w / w.sum()
+        got = _run(x, (tuple(w),) * 3, (0, 0, 0), (mode,) * 3)
+        exp = x.astype(np.float64)
+        for ax in range(3):
+            exp = sndi.correlate1d(exp, w, axis=ax, mode=mode)
+        np.testing.assert_allclose(got, exp, atol=5e-6)
+
+
+class TestConstantCvalFusedGate:
+    def test_derivative_constant_cval_takes_sequential_path(self):
+        # pad-once (fused) vs per-pass (scipy) cval extension diverge for
+        # non-normalized taps; the dispatcher must decline the fused path
+        from cupyimg_tpu.scipy.ndimage.filters import _try_fused_separable
+
+        x = jnp.asarray(
+            np.random.RandomState(3).rand(128, 128, 128).astype(np.float32)
+        )
+        deriv = np.array([-1.0, 0.0, 1.0])
+        smooth = np.array([0.25, 0.5, 0.25])
+        params = [
+            (0, deriv, "constant", 2.0, 0),
+            (1, smooth, "constant", 2.0, 0),
+            (2, smooth, "constant", 2.0, 0),
+        ]
+        assert _try_fused_separable(x, params, np.float32) is None
+        # cval == 0 or normalized taps stay eligible (None here only
+        # because the CPU backend fails supports(), so assert via gate
+        # order: the sum check must not reject these)
+        params_ok = [(ax, smooth, "constant", 0.0, 0) for ax in range(3)]
+        # reaches supports() (returns None on CPU for backend, not sum)
+        assert _try_fused_separable(x, params_ok, np.float32) is None
