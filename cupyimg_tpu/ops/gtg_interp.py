@@ -61,6 +61,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os as _os
 
 import numpy as np
 import jax
@@ -76,6 +77,10 @@ from cupyimg_tpu.ops.iir import get_spline_mode
 __all__ = ["affine_gtg_2d", "affine_gtg_batched2d", "gtg_plan"]
 
 _LANES = 128
+# planes per grid step of the batched kernel: routing (inversion, tap
+# indices, weights) is shared across the chunk, so larger chunks amortize
+# it; VMEM slab scratch grows linearly (2 * NBC * _SLAB0 * _SLAB1 * 4B)
+_NBC_PLANES = int(_os.environ.get("CUPYIMG_TPU_GTG_NBC", "16"))
 _SLAB0 = 128          # slab rows (sublane span budget incl. 8-align slack)
 _SLAB1 = 384          # slab cols as DMA'd: up to 127 lanes of origin
                       # 128-alignment slack + two 128-lane gather
@@ -612,7 +617,7 @@ def affine_gtg_batched2d(x, matrix, offset, order, mode, cval,
     xext = boundary.pad(x, [(0, 0)] + list(pads), pad_mode, cval)
 
     mshape = (a00, a01, a10, a11, o0, o1)
-    nbc = min(4, int(x.shape[0]))
+    nbc = min(_NBC_PLANES, int(x.shape[0]))
     out = _gtg_call(
         xext, pads[0][0], pads[1][0], mshape, int(order), int(TI),
         int(NP), int(NW), oshape, interpret=bool(interpret),
