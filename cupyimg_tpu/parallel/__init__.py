@@ -30,4 +30,6 @@ from cupyimg_tpu.parallel.halo import (  # noqa: F401
     sharded_shift,
     sharded_map_coordinates,
     sharded_affine_transform,
+    sharded_fft2,
+    sharded_fftconvolve2d_spatial,
 )

@@ -990,3 +990,113 @@ def sharded_affine_transform(x, matrix, offset=0.0, mesh=None, spec=None,
     fn = shard_map(local_fn, mesh=mesh, in_specs=(spec,), out_specs=spec,
                    check_vma=False)
     return fn(x)
+
+
+# ---------------------------------------------------------------------------
+# transpose-based distributed FFT (SURVEY.md §5: collective-friendly FFT —
+# shard non-FFT axes, retile with all-to-all between axis transforms)
+# ---------------------------------------------------------------------------
+
+
+def sharded_fft2(x, mesh, spec, inverse=False, transposed_out=False):
+    """Distributed 2-D FFT of a 2-D array sharded along ONE axis.
+
+    Transpose-based decomposition over ICI: each shard transforms its
+    local rows along the *unsharded* axis, one ``all_to_all`` retiles so
+    the other axis becomes fully local, the second transform runs, and
+    (unless ``transposed_out``) a final ``all_to_all`` restores the input
+    layout.  Exactly two collectives per transform — the textbook
+    distributed-FFT layout for a mesh (the reference is single-GPU cuFFT,
+    cupyimg/scipy/signal/signaltools.py:437-504; this axis-split design
+    is new for the mesh).
+
+    ``spec`` must shard exactly one of the two axes.  With
+    ``transposed_out=True`` the result is returned still sharded along
+    the OTHER axis (spec reversed) saving one all_to_all — callers doing
+    fwd->pointwise->inv round trips (convolution) should use it for the
+    forward pass and feed the same flag to the inverse.
+    """
+    x = jnp.asarray(x)
+    if x.ndim != 2:
+        raise ValueError("sharded_fft2 expects a 2-D array")
+    names = _spec_axis_names(spec, 2)
+    if sum(nm is not None for nm in names) != 1:
+        raise ValueError("spec must shard exactly one of the two axes")
+    sh_ax = 0 if names[0] is not None else 1
+    loc_ax = 1 - sh_ax
+    axis_name = names[sh_ax]
+    fft = jnp.fft.ifft if inverse else jnp.fft.fft
+
+    def local_fn(xs):
+        # pass 1: transform the locally-complete axis
+        y = fft(xs.astype(jnp.complex64 if xs.dtype != jnp.complex128
+                          else xs.dtype), axis=loc_ax)
+        # retile: split the local block along loc_ax, concatenate along
+        # sh_ax — after this the formerly-sharded axis is fully local
+        y = lax.all_to_all(
+            y, axis_name, split_axis=loc_ax, concat_axis=sh_ax,
+            tiled=True,
+        )
+        # pass 2: transform the now-local axis
+        y = fft(y, axis=sh_ax)
+        if not transposed_out:
+            y = lax.all_to_all(
+                y, axis_name, split_axis=sh_ax, concat_axis=loc_ax,
+                tiled=True,
+            )
+        return y
+
+    out_spec = spec
+    if transposed_out:
+        rev = [None, None]
+        rev[loc_ax] = axis_name
+        out_spec = P(*rev)
+    fn = shard_map(
+        local_fn, mesh=mesh, in_specs=(spec,), out_specs=out_spec,
+        check_vma=False,
+    )
+    return fn(x)
+
+
+def sharded_fftconvolve2d_spatial(x, kernel, mesh, spec, mode="same"):
+    """2-D FFT convolution with the IMAGE spatially sharded.
+
+    For volumes too large for one device: forward distributed FFT
+    (transposed output — saves one all_to_all), pointwise product with
+    the replicated kernel spectrum under GSPMD, inverse distributed FFT.
+    ``spec`` shards exactly one image axis; ``mode`` is 'same' or 'full'.
+    """
+    from cupyimg_tpu.scipy.signal.signaltools import _centered
+
+    x = jnp.asarray(x)
+    kernel = jnp.asarray(kernel)
+    if x.ndim != 2 or kernel.ndim != 2:
+        raise ValueError("expects 2-D image and kernel")
+    names = _spec_axis_names(spec, 2)
+    sh_ax = 0 if names[0] is not None else 1
+    axis_name = names[sh_ax]
+    p = mesh.shape[axis_name]
+
+    full = [x.shape[a] + kernel.shape[a] - 1 for a in range(2)]
+    # padded global sizes: divisible by the mesh extent on BOTH axes so
+    # the all_to_all retile has uniform blocks
+    S = [-(-full[a] // p) * p for a in range(2)]
+
+    xp = jnp.pad(x, [(0, S[0] - x.shape[0]), (0, S[1] - x.shape[1])])
+    kf = jnp.fft.fftn(kernel.astype(xp.dtype), S)
+
+    F = sharded_fft2(xp, mesh, spec, transposed_out=True)
+    # the product is plain elementwise math on the (transposed-sharded)
+    # spectrum; under jit/GSPMD it runs shard-local (kf is replicated)
+    G = F * kf
+    rev = [None, None]
+    rev[1 - sh_ax] = axis_name
+    out = sharded_fft2(G, mesh, P(*rev), inverse=True)
+    # the inverse returned sharding along 1 - sh_ax; the crop below is
+    # global-index math, GSPMD reshards as needed
+    out = jnp.real(out)[: full[0], : full[1]]
+    if mode == "full":
+        return out
+    if mode == "same":
+        return _centered(out, x.shape)
+    raise ValueError("mode must be 'same' or 'full'")
