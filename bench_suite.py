@@ -159,6 +159,23 @@ def main():
             nb2,
         )
 
+    # sparse footprint: the reference documents a masked-kernel crossover
+    # win for sparse weights (reference filters.py:95-99); here zero taps
+    # are skipped at TRACE time so cost tracks nnz, subsuming that path —
+    # this case proves it (9x9 with 8 nonzero taps vs the dense 9x9)
+    k9s = np.zeros((9, 9), np.float32)
+    k9s[np.random.RandomState(7).randint(0, 9, 8),
+        np.random.RandomState(8).randint(0, 9, 8)] = 1.0
+    k9d = rng.randn(9, 9).astype(np.float32)
+    emit("correlate_sparse_9x9_nnz8_2d_4096",
+         lambda: _slope_ms(
+             lambda v: ndi.correlate(v, np.asarray(k9s), mode="reflect",
+                                     dtype_mode="float"), img), nb2)
+    emit("correlate_dense_9x9_2d_4096",
+         lambda: _slope_ms(
+             lambda v: ndi.correlate(v, np.asarray(k9d), mode="reflect",
+                                     dtype_mode="float"), img), nb2)
+
     # --- morphology + rank suite -----------------------------------------
     emit("minimum_3d_256c_s5",
          lambda: _slope_ms(lambda v: ndi.minimum_filter(v, 5), vol), nb3)

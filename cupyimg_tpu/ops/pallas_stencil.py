@@ -56,7 +56,9 @@ _MAX_TAPS = 64
 # Toeplitz MXU matmul instead of unaligned lane-shift accumulation
 # (measured crossover on v5e: 7-tap shifts 0.47 ms vs matmul 0.52 ms,
 # 25-tap shifts 1.59 ms vs matmul 0.61 ms on a 4096^2 f32 gaussian)
-_LANE_MM2_MIN_TAPS = 9
+_LANE_MM2_MIN_TAPS = 10  # v5e: shift path 92.5 GB/s vs lane-MM 79.2 at 9
+                         # taps wide; lane-MM wins from ~10-15 (62 vs 33
+                         # at 15) — measured crossover, round 2
 
 
 def supports(x, weights):

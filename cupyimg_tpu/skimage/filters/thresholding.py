@@ -328,15 +328,17 @@ def threshold_local(
             f"{block_size} contains even values."
         )
     if method == "generic":
+        # beyond the reference, which raises here (reference
+        # thresholding.py:236): route through ndimage.generic_filter,
+        # whose callable receives each window's values raveled
         if not callable(param):
             raise ValueError(
                 "Method 'generic' requires a callable 'param'"
             )
-        from cupyimg_tpu.skimage.util.shape import view_as_windows
-
-        raise NotImplementedError(
-            "method='generic' is not supported; use gaussian/mean/median"
+        thresh = ndi.generic_filter(
+            image, param, size=tuple(block_size), mode=mode, cval=cval
         )
+        return thresh - offset
     if method == "gaussian":
         if param is None:
             sigma = [(b - 1) / 6.0 for b in block_size]

@@ -3,6 +3,7 @@ oracles)."""
 
 import numpy as np
 import pytest
+import jax.numpy as jnp
 import scipy.ndimage as sndi
 
 import cupyimg_tpu.skimage.filters as filters
@@ -318,3 +319,41 @@ def test_threshold_otsu_exact_formula_plateau():
     v12 = w1[:-1] * w2[1:] * (m1[:-1] - m2[1:]) ** 2
     exp = centers[:-1][np.argmax(v12)]
     np.testing.assert_allclose(got, exp, rtol=1e-12)
+
+
+class TestThresholdLocalGeneric:
+    """method='generic' goes beyond the reference (which raises,
+    reference thresholding.py:236) via ndimage.generic_filter."""
+
+    def test_generic_mean_equals_mean_method(self):
+        from cupyimg_tpu.skimage.filters import threshold_local
+
+        x = np.random.RandomState(0).rand(24, 25)
+        got = threshold_local(jnp.asarray(x), 5, method="generic",
+                              param=lambda v: jnp.mean(v), offset=0.01)
+        ref = threshold_local(jnp.asarray(x), 5, method="mean",
+                              offset=0.01)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-12, atol=1e-12)
+
+    def test_generic_vs_scipy_generic_filter(self):
+        import scipy.ndimage as sndi
+        from cupyimg_tpu.skimage.filters import threshold_local
+
+        x = np.random.RandomState(1).rand(16, 18)
+        got = threshold_local(
+            jnp.asarray(x), 3, method="generic",
+            param=lambda v: jnp.max(v) - jnp.min(v),
+        )
+        exp = sndi.generic_filter(
+            x, lambda v: v.max() - v.min(), size=(3, 3), mode="reflect"
+        )
+        np.testing.assert_allclose(np.asarray(got), exp, rtol=1e-12,
+                                   atol=1e-12)
+
+    def test_generic_requires_callable(self):
+        from cupyimg_tpu.skimage.filters import threshold_local
+
+        with pytest.raises(ValueError):
+            threshold_local(jnp.zeros((8, 8)), 3, method="generic",
+                            param=3)
