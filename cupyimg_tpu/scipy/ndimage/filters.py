@@ -1091,6 +1091,9 @@ def rank_filter(
     cval=0.0, origin=0, *, axes=None,
 ):
     """Multi-dimensional rank filter (scipy parity incl. `axes`)."""
+    if not isinstance(rank, (int, np.integer)):
+        # scipy raises for float ranks (upstream issue 9388 regression)
+        raise TypeError("rank must be an integer")
     rank = int(rank)
     size, footprint, origin = _axes_rank_args(input, size, footprint,
                                               origin, axes)
