@@ -57,6 +57,8 @@ def threshold_otsu(image=None, nbins=256, *, hist=None):
     """Otsu's threshold: maximize between-class variance (skimage
     parity)."""
     counts, bin_centers = _validate_image_histogram(image, hist, nbins)
+    if bin_centers.shape[0] == 1:  # single-color image: that value
+        return bin_centers[0]
     counts = counts / jnp.sum(counts)
     weight1 = jnp.cumsum(counts)
     weight2 = jnp.cumsum(counts[::-1])[::-1]
@@ -74,6 +76,8 @@ def threshold_otsu(image=None, nbins=256, *, hist=None):
 def threshold_yen(image=None, nbins=256, *, hist=None):
     """Yen's threshold (maximum correlation criterion; skimage parity)."""
     counts, bin_centers = _validate_image_histogram(image, hist, nbins)
+    if bin_centers.shape[0] == 1:  # single-color image: that value
+        return bin_centers[0]
     pmf = counts / jnp.sum(counts)
     P1 = jnp.cumsum(pmf)
     P1_sq = jnp.cumsum(pmf ** 2)
@@ -115,24 +119,40 @@ def threshold_isodata(image=None, nbins=256, return_all=False, *, hist=None):
 
 def threshold_li(image, *, tolerance=None, initial_guess=None,
                  iter_callback=None):
-    """Li's minimum cross-entropy threshold (iterative; skimage parity)."""
-    image = jnp.asarray(image)
-    image = image[jnp.isfinite(image)] if np.dtype(
-        image.dtype
-    ).kind == "f" else image.ravel()
-    image = image.ravel()
+    """Li's minimum cross-entropy threshold (iterative; skimage parity
+    incl. the nan/inf/constant edge semantics of the upstream suite)."""
+    image = jnp.asarray(image).ravel()
+    if np.dtype(image.dtype).kind == "f":
+        image = image[~jnp.isnan(image)]
+    if image.size == 0:
+        return float("nan")
+    # single-valued images (including inf) threshold at that value
+    val0 = image[0]
+    if bool(jnp.all(image == val0)):
+        return float(val0)
+    if np.dtype(image.dtype).kind == "f":
+        finite = image[jnp.isfinite(image)]
+        if finite.size == 0:
+            # only +inf and -inf remain: any finite value separates them
+            return 0.0
+        image = finite
     imin = float(image.min())
-    image = image - imin  # ensure positivity
-    image = image.astype(np.float64)
-    imrange = float(image.max())
-    tolerance = tolerance or imrange / 2 ** 10 or 0.5
+    image = image.astype(np.float64) - imin  # ensure positivity
+    if tolerance is None:
+        # half the smallest difference between distinct intensities
+        tolerance = float(jnp.min(jnp.diff(jnp.unique(image)))) / 2
 
     if initial_guess is None:
         t_next = float(image.mean())
     elif callable(initial_guess):
-        t_next = initial_guess(image) - imin
+        t_next = float(initial_guess(image)) - imin
     else:
         t_next = float(initial_guess) - imin
+        if not 0 < t_next < float(image.max()):
+            raise ValueError(
+                "The initial guess for threshold_li must be within the "
+                "range of the image."
+            )
     t_curr = -2 * tolerance
     if iter_callback is not None:
         iter_callback(t_next + imin)
@@ -177,8 +197,13 @@ def threshold_minimum(image=None, nbins=256, max_iter=10000, *, hist=None):
 
     smooth_hist = counts_np
     for counter in range(max_iter):
+        # skimage smooths with uniform_filter1d (reflect boundary); a
+        # zero-padded convolve decays the ends and can fabricate maxima
+        padded = np.concatenate(
+            ([smooth_hist[0]], smooth_hist, [smooth_hist[-1]])
+        )
         smooth_hist = np.convolve(
-            smooth_hist, np.ones(3) / 3.0, mode="same"
+            padded, np.ones(3) / 3.0, mode="valid"
         )
         maximum_idxs = find_local_maxima_idx(smooth_hist)
         if len(maximum_idxs) < 3:
@@ -231,55 +256,61 @@ def threshold_triangle(image, nbins=256):
 
 
 def threshold_multiotsu(image, classes=3, nbins=256):
-    """Multi-Otsu thresholds (skimage parity; exhaustive search over the
-    histogram, vectorized for 2 thresholds)."""
+    """Multi-Otsu thresholds for any class count (skimage parity).
+
+    The reference delegates to scikit-image's LUT recursion
+    (reference thresholding.py threshold_multiotsu); here the maximal
+    between-class criterion sum_k m_k^2/w_k is found by dynamic
+    programming over (class, last-bin) — O(classes * nbins^2) host math
+    on the (tiny) histogram, exact for every class count.
+    """
     image = jnp.asarray(image)
     counts, bin_centers = _validate_image_histogram(image, None, nbins)
     prob = np.asarray(counts / jnp.sum(counts), dtype=np.float64)
     centers = np.asarray(bin_centers, dtype=np.float64)
     nb = len(prob)
-    P = np.cumsum(prob)
-    M = np.cumsum(prob * centers)
-
-    def w(i, j):  # sum of prob over bins (i..j] with i exclusive
-        return P[j] - (P[i] if i >= 0 else 0.0)
-
-    def m(i, j):
-        return M[j] - (M[i] if i >= 0 else 0.0)
-
-    if classes == 2:
-        best, t_best = -np.inf, (0,)
-        for t in range(nb - 1):
-            w0, w1 = w(-1, t), w(t, nb - 1)
-            if w0 <= 0 or w1 <= 0:
-                continue
-            crit = m(-1, t) ** 2 / w0 + m(t, nb - 1) ** 2 / w1
-            if crit > best:
-                best, t_best = crit, (t,)
-        idx = np.asarray(t_best)
-    elif classes == 3:
-        # vectorized over all (t1 < t2) pairs
-        i_idx, j_idx = np.triu_indices(nb, k=1)
-        valid = (i_idx < nb - 1) & (j_idx < nb - 1)
-        i_idx, j_idx = i_idx[valid], j_idx[valid]
-        w0 = P[i_idx]
-        w1 = P[j_idx] - P[i_idx]
-        w2 = P[-1] - P[j_idx]
-        m0 = M[i_idx]
-        m1 = M[j_idx] - M[i_idx]
-        m2 = M[-1] - M[j_idx]
-        with np.errstate(divide="ignore", invalid="ignore"):
-            crit = (
-                np.where(w0 > 0, m0 ** 2 / np.where(w0 > 0, w0, 1), 0)
-                + np.where(w1 > 0, m1 ** 2 / np.where(w1 > 0, w1, 1), 0)
-                + np.where(w2 > 0, m2 ** 2 / np.where(w2 > 0, w2, 1), 0)
-            )
-        k = int(np.argmax(crit))
-        idx = np.array([i_idx[k], j_idx[k]])
-    else:
+    if int(np.count_nonzero(prob)) < classes:
         raise ValueError(
-            "classes must be 2 or 3 in this implementation"
+            f"The input image has less unique values ({int(np.count_nonzero(prob))}) "
+            f"than the desired number of classes ({classes})"
         )
+    P = np.concatenate([[0.0], np.cumsum(prob)])
+    M = np.concatenate([[0.0], np.cumsum(prob * centers)])
+
+    def seg(i, j):
+        """Criterion of the class covering bins [i, j] inclusive."""
+        w = P[j + 1] - P[i]
+        if w <= 0:
+            return 0.0
+        m = M[j + 1] - M[i]
+        return m * m / w
+
+    NEG = -np.inf
+    # dp[j] = best score for splitting bins [0..j] into `c` classes,
+    # cut[c][j] = the last class's start bin at the optimum
+    dp = np.array([seg(0, j) for j in range(nb)])
+    cuts = []
+    for c in range(2, classes + 1):
+        ndp = np.full(nb, NEG)
+        cut = np.zeros(nb, dtype=int)
+        for j in range(c - 1, nb):
+            best, bi = NEG, c - 1
+            for i in range(c - 1, j + 1):
+                v = dp[i - 1] + seg(i, j)
+                if v > best:
+                    best, bi = v, i
+            ndp[j] = best
+            cut[j] = bi
+        dp = ndp
+        cuts.append(cut)
+    # backtrack: thresholds are the last bin of each class but the final
+    j = nb - 1
+    idx = []
+    for cut in reversed(cuts):
+        i = cut[j]
+        idx.append(i - 1)
+        j = i - 1
+    idx = np.asarray(sorted(idx))
     return jnp.asarray(centers[idx])
 
 
