@@ -18,13 +18,17 @@ __all__ = [
     "laplace",
 ]
 
-# smoothing weights (normalized); derivative is the central difference
+# smoothing weights (normalized); derivative is the central difference.
+# Kernels stated here in correlate orientation; the reference applies the
+# convolve-oriented [1, 0, -1] (edges.py:23,132), i.e. f(x+1) - f(x-1).
 HSOBEL_SMOOTH = np.array([1, 2, 1]) / 4.0
 HSCHARR_SMOOTH = np.array([3, 10, 3]) / 16.0
 HPREWITT_SMOOTH = np.array([1, 1, 1]) / 3.0
-EDGE_KERNEL = np.array([1, 0, -1]) / 2.0
+EDGE_KERNEL = np.array([-1.0, 0.0, 1.0])
 
-# Farid & Simoncelli 5-tap optimal kernels (published constants)
+# Farid & Simoncelli 5-tap optimal kernels (published constants);
+# the reference convolves with d1 (edges.py:48-51) == correlate with
+# its reverse.
 FARID_SMOOTH = np.array(
     [0.0376593171958126, 0.249153396177344, 0.426374573253687,
      0.249153396177344, 0.0376593171958126]
@@ -32,7 +36,7 @@ FARID_SMOOTH = np.array(
 FARID_EDGE = np.array(
     [-0.109603762960254, -0.276690988455557, 0.0, 0.276690988455557,
      0.109603762960254]
-)[::-1]
+)
 
 ROBERTS_PD_WEIGHTS = np.array([[1, 0], [0, -1]], dtype=np.float64)
 ROBERTS_ND_WEIGHTS = np.array([[0, 1], [-1, 0]], dtype=np.float64)
@@ -58,13 +62,11 @@ def _generic_edge_filter(
     ndim = image.ndim
     if axis is None:
         axes = list(range(ndim))
-        return_magnitude = True
     elif np.isscalar(axis):
         axes = [axis % ndim]
-        return_magnitude = False
     else:
         axes = [a % ndim for a in axis]
-        return_magnitude = True
+    return_magnitude = len(axes) > 1
 
     output = None
     for edge_dim in axes:
@@ -83,7 +85,9 @@ def _generic_edge_filter(
             ax_out = ax_out * ax_out
         output = ax_out if output is None else output + ax_out
     if return_magnitude:
-        output = jnp.sqrt(output) / np.sqrt(len(axes))
+        # reference edges.py:197-199: average of squares over ndim, not
+        # over the number of requested axes
+        output = jnp.sqrt(output / ndim)
     return output
 
 
@@ -157,11 +161,13 @@ def farid_v(image, mask=None):
 
 
 def roberts(image, mask=None):
-    """Roberts' cross edge magnitude (skimage parity)."""
+    """Roberts' cross edge magnitude (skimage parity; reference
+    edges.py:599-611 divides by sqrt(2) so [0, 1] inputs stay in
+    [0, 1])."""
     return jnp.sqrt(
         roberts_pos_diag(image, mask) ** 2
         + roberts_neg_diag(image, mask) ** 2
-    )
+    ) / np.sqrt(2.0)
 
 
 def roberts_pos_diag(image, mask=None):
@@ -179,8 +185,12 @@ def roberts_neg_diag(image, mask=None):
 
 
 def laplace(image, ksize=3, mask=None):
-    """Laplace edge filter (skimage parity: ndimage laplace on float
-    image)."""
+    """Laplace edge filter (skimage parity: reference edges.py:682-713
+    convolves with the uft.laplacian impulse — center +2*ndim,
+    neighbors -1 — the negated ndimage laplacian)."""
+    from ..restoration.uft import laplacian as _uft_laplacian
+
     image = jnp.asarray(image).astype(np.float64)
-    result = ndi.laplace(image)
+    _, laplace_op = _uft_laplacian(image.ndim, (ksize,) * image.ndim)
+    result = ndi.correlate(image, laplace_op)
     return _mask_filter_result(result, mask)

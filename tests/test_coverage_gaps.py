@@ -292,8 +292,8 @@ def test_directional_edge_filters_split():
 
 def test_prewitt_h_is_separable_correlate():
     x = _img((16, 17), seed=10, dtype=np.float64)
-    k = np.outer([1, 0, -1], [1, 1, 1]) / 6.0  # skimage HPREWITT_WEIGHTS
-    exp = sndi.correlate(x, k, mode="reflect")
+    k = np.outer([1, 0, -1], [1, 1, 1]) / 3.0  # skimage HPREWITT_WEIGHTS
+    exp = sndi.convolve(x, k, mode="reflect")
     got = np.asarray(filters.prewitt_h(jnp.asarray(x)))
     np.testing.assert_allclose(got[1:-1, 1:-1], exp[1:-1, 1:-1],
                                rtol=1e-6, atol=1e-10)
@@ -306,8 +306,8 @@ def test_roberts_diagonals():
     ndg = np.asarray(filters.roberts_neg_diag(xj))
     full = np.asarray(filters.roberts(xj))
     sl = (slice(2, -2), slice(2, -2))
-    np.testing.assert_allclose(np.sqrt(pd**2 + ndg**2)[sl], full[sl],
-                               rtol=1e-5)
+    np.testing.assert_allclose((np.sqrt(pd**2 + ndg**2) / np.sqrt(2))[sl],
+                               full[sl], rtol=1e-5)
 
 
 def test_rank_order_golden():

@@ -20,8 +20,8 @@ class TestEdges:
         r, c = np.mgrid[0:16, 0:16]
         x = r.astype(np.float64)
         out = np.asarray(filters.sobel_h(x))
-        # derivative kernel is [1, 0, -1]/2: increasing ramp -> -1
-        np.testing.assert_allclose(out[2:-2, 2:-2], -1.0, atol=1e-10)
+        # convolve-oriented derivative [1, 0, -1]: increasing ramp -> +2
+        np.testing.assert_allclose(out[2:-2, 2:-2], 2.0, atol=1e-10)
         out_v = np.asarray(filters.sobel_v(x))
         np.testing.assert_allclose(out_v[2:-2, 2:-2], 0.0, atol=1e-10)
 
@@ -42,7 +42,9 @@ class TestEdges:
     def test_laplace_matches_ndimage(self):
         x = _img()
         got = np.asarray(filters.laplace(x))
-        exp = sndi.laplace(x)
+        # reference laplace uses the uft.laplacian impulse: the negated
+        # ndimage laplacian (center +2*ndim)
+        exp = -sndi.laplace(x)
         np.testing.assert_allclose(got, exp, atol=1e-12)
 
     def test_mask(self):
