@@ -93,7 +93,54 @@ def _warm_ms(fn, reps=3, n1=1, n2=5):
     return max(0.0, float(np.median(slopes)))
 
 
-def emit(name, ms, nbytes=None):
+_COMPLEX_OK = None
+
+
+def _complex_supported():
+    """Probe complex-dtype device support in a SUBPROCESS.
+
+    On the axon dev relay, any complex-dtype device op silently poisons
+    the process: every subsequent op (even float) fails with
+    UNIMPLEMENTED. Probing in-process would take the whole suite down,
+    so fork a child and require a float op to still work after the
+    complex one.
+    """
+    global _COMPLEX_OK
+    if _COMPLEX_OK is None:
+        import subprocess
+        import sys
+
+        code = (
+            "import jax, jax.numpy as jnp;"
+            "c = (jnp.ones((8, 8)) + 1j * jnp.ones((8, 8)))"
+            ".astype(jnp.complex64);"
+            "jax.block_until_ready(c);"
+            "print(float(jnp.real(c).ravel()[0]));"
+            "print('POST', float(jnp.sum(jnp.ones(4))))"
+        )
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", code],
+                capture_output=True, text=True, timeout=600,
+            )
+            _COMPLEX_OK = r.returncode == 0 and "POST 4.0" in r.stdout
+        except Exception:
+            _COMPLEX_OK = False
+    return _COMPLEX_OK
+
+
+def emit(name, ms, nbytes=None, needs_complex=False):
+    if needs_complex and not _complex_supported():
+        print(
+            json.dumps(
+                {
+                    "metric": name,
+                    "skipped": "complex dtypes unsupported on this backend",
+                }
+            ),
+            flush=True,
+        )
+        return
     if callable(ms):
         # run the timing thunk guarded: a platform gap (e.g. the axon
         # dev relay rejects every complex-dtype op with UNIMPLEMENTED)
@@ -265,6 +312,7 @@ def main():
             _cimg(), n1=1, n2=6,
         ),
         2048 * 2048 * 8 * 2,
+        needs_complex=True,
     )
     emit(
         "zoom_complex_2d_2048_order1",
@@ -272,6 +320,7 @@ def main():
             lambda v: ndi.zoom(v, 1.0, order=1), _cimg(), n1=1, n2=6,
         ),
         2048 * 2048 * 8 * 2,
+        needs_complex=True,
     )
     emit(
         "rotate_3d_256c_order1",
@@ -284,7 +333,11 @@ def main():
         ),
         nb3,
     )
-    coords3 = jnp.mgrid[0:128, 0:128, 0:128].astype(jnp.float32) + 0.37
+    # host-side grid build: jnp.mgrid is a device op chain and an
+    # earlier poisoned relay stream would crash the suite here
+    coords3 = jnp.asarray(
+        np.mgrid[0:128, 0:128, 0:128].astype(np.float32) + 0.37
+    )
     emit("map_coords_3d_128c_order1",
          lambda: _slope_ms(lambda v: ndi.map_coordinates(v, coords3, order=1),
                    vol[:128, :128, :128], n1=1, n2=6))

@@ -5,6 +5,7 @@ scale-normalized Hessian eigenvalues (closed-form, feature.corner)."""
 
 from __future__ import annotations
 
+import warnings
 from functools import reduce
 
 import numpy as np
@@ -89,12 +90,39 @@ def meijering(
     return jnp.max(jnp.stack(outputs), axis=0)
 
 
+def _warn_implicit_mode(name):
+    # reference ridges.py:346-356: a None mode warns and resolves to
+    # 'reflect'
+    warnings.warn(
+        f"Previously, {name} implicitly used 'constant' as the "
+        "border mode when dealing with the edge of the array. The new "
+        "behavior is 'reflect'. To recover the old behavior, use "
+        "mode='constant'. To avoid this warning, please explicitly "
+        "set the mode.",
+        category=FutureWarning,
+        stacklevel=3,
+    )
+    return "reflect"
+
+
+def _resolve_scale_range(sigmas, scale_range, scale_step):
+    # reference ridges.py:465-471: deprecated scale_range/scale_step pair
+    if scale_range is not None and scale_step is not None:
+        warnings.warn(
+            "Use keyword parameter `sigmas` instead of `scale_range` and "
+            "`scale_range` which will be removed in version 0.17.",
+            stacklevel=3,
+        )
+        sigmas = np.arange(scale_range[0], scale_range[1], scale_step)
+    return sigmas
+
+
 def sato(image, sigmas=range(1, 10, 2), black_ridges=True, mode=None,
          cval=0):
     """Sato tubeness filter (skimage parity)."""
     image = jnp.asarray(image)
     if mode is None:
-        mode = "constant"
+        mode = _warn_implicit_mode("sato")
     sigmas = _check_sigmas(sigmas)
     if not black_ridges:
         image = invert(image)
@@ -118,8 +146,7 @@ def frangi(
 ):
     """Frangi vesselness filter (skimage parity)."""
     image = jnp.asarray(image)
-    if scale_range is not None and scale_step is not None:
-        sigmas = np.arange(scale_range[0], scale_range[1], scale_step)
+    sigmas = _resolve_scale_range(sigmas, scale_range, scale_step)
     sigmas = _check_sigmas(sigmas)
     ndim = image.ndim
     alpha_sq = 2 * alpha ** 2
@@ -166,7 +193,7 @@ def hessian(
     """Hybrid Hessian filter (Ng et al.; skimage parity: frangi response
     with background forced to 1)."""
     if mode is None:
-        mode = "constant"
+        mode = _warn_implicit_mode("hessian")
     filtered = frangi(
         image, sigmas=sigmas, scale_range=scale_range,
         scale_step=scale_step, alpha=alpha, beta=beta, gamma=gamma,
