@@ -93,7 +93,24 @@ def _warm_ms(fn, reps=3, n1=1, n2=5):
     return max(0.0, float(np.median(slopes)))
 
 
-_COMPLEX_OK = None
+_PEAK_GBPS = None
+
+
+def _peak_gbps():
+    """Measured peak HBM bandwidth: slope-timed whole-array copy chain.
+
+    Each fori_loop iteration reads + writes the full 256^3 f32 volume
+    (x + 1.0, data-dependent), i.e. 2 HBM touches per element — the same
+    accounting every GBps column in this suite uses. This is the
+    denominator for the pct_roofline column (VERDICT r1 #10)."""
+    global _PEAK_GBPS
+    if _PEAK_GBPS is None:
+        x = jnp.asarray(
+            np.random.RandomState(7).randn(256, 256, 256).astype(np.float32)
+        )
+        ms = _slope_ms(lambda v: v + 1.0, x, n1=8, n2=48)
+        _PEAK_GBPS = x.size * 4 * 2 / 1e9 / (ms / 1e3)
+    return _PEAK_GBPS
 
 
 def _complex_supported():
@@ -160,7 +177,9 @@ def emit(name, ms, nbytes=None, needs_complex=False):
             return
     rec = {"metric": name, "value": round(ms, 4), "unit": "ms"}
     if nbytes:
-        rec["GBps"] = round(nbytes / 1e9 / (ms / 1e3), 1)
+        gbps = nbytes / 1e9 / (ms / 1e3)
+        rec["GBps"] = round(gbps, 1)
+        rec["pct_roofline"] = round(100.0 * gbps / _peak_gbps(), 1)
     print(json.dumps(rec), flush=True)
 
 
@@ -406,7 +425,10 @@ def main():
              v, psf, 0.1, clip=False) * np.float32(1e-3),
              a, n1=1, n2=6))
 
-    print(json.dumps({"sync_floor_ms": round(_sync_floor_ms(), 3)}))
+    print(json.dumps({
+        "sync_floor_ms": round(_sync_floor_ms(), 3),
+        "peak_copy_GBps": round(_peak_gbps(), 1),
+    }))
 
 
 if __name__ == "__main__":

@@ -409,6 +409,18 @@ def _freq_domain_conv(in1, in2, axes, shape, calc_fast_len=False):
     complex_result = (
         np.dtype(in1.dtype).kind == "c" or np.dtype(in2.dtype).kind == "c"
     )
+    # scipy.fft transform dtype semantics: integer/bool operands are
+    # promoted to float64 (full-precision spectra; x64-off truncates to
+    # f32, a platform cap), float16 computes in — and returns — float32
+    if not complex_result:
+        if np.dtype(in1.dtype) == np.float16:
+            in1 = in1.astype(jnp.float32)
+        if np.dtype(in2.dtype) == np.float16:
+            in2 = in2.astype(jnp.float32)
+        if np.dtype(in1.dtype).kind in "iub":
+            in1 = in1.astype(jnp.float64)
+        if np.dtype(in2.dtype).kind in "iub":
+            in2 = in2.astype(jnp.float64)
     if calc_fast_len:
         fshape = [next_fast_len(shape[a]) for a in axes]
     else:
@@ -791,7 +803,22 @@ def _conv2d_common(in1, in2, mode, boundary, fillvalue, convolution):
         raise ValueError("convolve2d inputs must both be 2-D arrays")
     boundary = {"circular": "wrap", "symmetric": "symm"}.get(boundary,
                                                              boundary)
-    if _inputs_swap_needed(mode, in1.shape, in2.shape):
+    if boundary == "fill":
+        # scipy parity (reference signaltools tests:368-402): fillvalue
+        # must be a scalar castable to the output dtype without
+        # discarding an imaginary part
+        fv = np.asarray(fillvalue)
+        if fv.size != 1:
+            raise ValueError(
+                "`fillvalue` must be scalar or an array with one element"
+            )
+        out_kind = np.promote_types(in1.dtype, in2.dtype).kind
+        if fv.dtype.kind == "c" and out_kind != "c" and np.any(fv.imag != 0):
+            raise ValueError(
+                "could not cast `fillvalue` directly to the output dtype"
+            )
+    swapped = _inputs_swap_needed(mode, in1.shape, in2.shape)
+    if swapped:
         in1, in2 = in2, in1
     w = jnp.flip(in2) if convolution else in2.conj()
     s1, s2 = in1.shape, w.shape
@@ -830,6 +857,10 @@ def _conv2d_common(in1, in2, mode, boundary, fillvalue, convolution):
     else:
         raise ValueError("acceptable mode flags are 'valid', 'same', or "
                          "'full'")
+    if not convolution and swapped:
+        # correlation is not argument-symmetric: scipy computes with the
+        # swapped operands and reverses the result on both axes
+        out = out[::-1, ::-1]
     if is_int:
         out = jnp.rint(out)
     return out.astype(dtype)
@@ -897,6 +928,8 @@ def hilbert2(x, N=None, *, axes=(-2, -1)):
     """2-d analytic signal (scipy parity: double positive frequencies,
     zero the rest, per axis)."""
     x = jnp.atleast_2d(jnp.asarray(x))
+    if x.ndim > 2:
+        raise ValueError("x must be 2-D.")
     if np.dtype(x.dtype).kind == "c":
         raise ValueError("x must be real.")
     if len(axes) != 2 or axes[0] == axes[1]:
@@ -976,7 +1009,8 @@ def resample(x, num, t=None, axis=0, window=None, domain="time"):
 
     if N % 2 == 0:
         if num < Nx:  # downsampling: fold in the mirrored Nyquist bin
-            sl[axis] = slice(-(N // 2), -(N // 2) + 1)
+            stop = -(N // 2) + 1
+            sl[axis] = slice(-(N // 2), stop if stop != 0 else None)
             pos = [slice(None)] * x.ndim
             pos[axis] = slice(N // 2, N // 2 + 1)
             Y = Y.at[tuple(pos)].add(X[tuple(sl)])
@@ -1024,7 +1058,12 @@ def resample_poly(
         if window.ndim > 1:
             raise ValueError("window must be 1-D")
         half_len = (window.size - 1) // 2
-        h = np.asarray(window, dtype=np.float64)
+        # preserve a floating window dtype (a float32 window keeps the
+        # whole pipeline f32, scipy parity); promote int windows
+        h = np.asarray(
+            window,
+            dtype=window.dtype if window.dtype.kind in "fc" else np.float64,
+        )
     else:
         from scipy.signal import firwin
 

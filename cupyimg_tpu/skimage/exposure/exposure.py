@@ -45,11 +45,14 @@ def _bincount_histogram(image, source_range):
         image_min, image_max = dtype_limits(image, clip_negative=False)
     else:
         raise ValueError("Incorrect value for `source_range` argument")
-    image, offset = _offset_array(image.ravel(), image_min, image_max)
+    # widen BEFORE offsetting: offsetting int8 by +128 in its own dtype
+    # wraps around
+    image, offset = _offset_array(
+        image.ravel().astype(jnp.int64), image_min, image_max
+    )
     length = image_max - image_min + 1
     hist = jnp.bincount(
-        jnp.clip(image.astype(np.int64) - (image_min - offset), 0,
-                 length - 1),
+        jnp.clip(image - (image_min - offset), 0, length - 1),
         length=length,
     )
     bin_centers = jnp.arange(image_min, image_max + 1)
@@ -138,37 +141,72 @@ def intensity_range(image, range_values="image", clip_negative=False):
     return i_min, i_max
 
 
+def _output_dtype(dtype_or_range):
+    """Resolve ``out_range`` to an output dtype (skimage parity: value
+    pairs give float; named non-canonical ranges uint10/12/14 give
+    uint16; bad strings raise)."""
+    if isinstance(dtype_or_range, (list, tuple, np.ndarray)):
+        return np.float64
+    if isinstance(dtype_or_range, type):
+        return dtype_or_range
+    if dtype_or_range in DTYPE_RANGE:
+        try:
+            return np.dtype(dtype_or_range).type
+        except TypeError:  # uint10 / uint12 / uint14
+            return np.uint16
+    raise ValueError(
+        "Incorrect value for out_range, should be a valid image data type "
+        f"or a pair of values, got {dtype_or_range}."
+    )
+
+
 def rescale_intensity(image, in_range="image", out_range="dtype"):
     """Stretch/shrink the intensity range (skimage parity)."""
     image = jnp.asarray(image)
     if out_range in ("dtype", "image"):
-        out_dtype = np.dtype(image.dtype)
+        out_dtype = _output_dtype(np.dtype(image.dtype).type)
     else:
-        out_dtype = np.dtype(np.float64) if not isinstance(out_range, str) \
-            else np.dtype(out_range)
-    imin, imax = intensity_range(image, in_range)
-    omin, omax = intensity_range(
-        image, out_range, clip_negative=(imin >= 0)
+        out_dtype = _output_dtype(out_range)
+    imin, imax = (float(v) for v in intensity_range(image, in_range))
+    omin, omax = (
+        float(v)
+        for v in intensity_range(
+            image, out_range, clip_negative=(imin >= 0)
+        )
     )
+    if np.any(np.isnan([imin, imax, omin, omax])):
+        import warnings
+
+        warnings.warn(
+            "One or more intensity levels are NaN. Rescaling will "
+            "broadcast NaN to the full image. Provide intensity levels "
+            "yourself to avoid this. E.g. with np.nanmin(image), "
+            "np.nanmax(image).",
+            stacklevel=2,
+        )
     image = jnp.clip(image.astype(np.float64), imin, imax)
-    if imax != imin:
+    if imin != imax:
         image = (image - imin) / (imax - imin)
         out = image * (omax - omin) + omin
     else:
         out = jnp.clip(image, omin, omax)
-    if out_range == "dtype" or out_range in DTYPE_RANGE or (
-        not isinstance(out_range, (tuple, list))
-        and out_range in dtype_range
-    ):
-        if np.dtype(out_dtype).kind in "iu":
-            out = jnp.rint(out)
-        return out.astype(out_dtype)
-    return out
+    # skimage casts with np.asarray(..., dtype=out_dtype): truncation,
+    # not rounding
+    return out.astype(out_dtype)
+
+
+def _assert_non_negative(image):
+    if bool(jnp.any(image < 0)):
+        raise ValueError(
+            "Image Correction methods work correctly only on images with "
+            "non-negative values. Use skimage.exposure.rescale_intensity."
+        )
 
 
 def adjust_gamma(image, gamma=1, gain=1):
     """Gamma correction (skimage parity)."""
     image = jnp.asarray(image)
+    _assert_non_negative(image)
     if gamma < 0:
         raise ValueError("Gamma should be a non-negative real number.")
     dtype = np.dtype(image.dtype)
@@ -184,6 +222,7 @@ def adjust_gamma(image, gamma=1, gain=1):
 def adjust_log(image, gain=1, inv=False):
     """Logarithmic correction (skimage parity)."""
     image = jnp.asarray(image)
+    _assert_non_negative(image)
     dtype = np.dtype(image.dtype)
     scale = float(
         dtype_limits(image, True)[1] - dtype_limits(image, True)[0]
