@@ -788,13 +788,14 @@ def zoom(
 
     factors = []
     for in_size, out_size in zip(x.shape, output_shape):
-        if out_size > 1:
-            if grid_mode:
-                factors.append(in_size / out_size)
-            else:
-                factors.append((in_size - 1) / (out_size - 1))
+        if grid_mode:
+            # scipy applies in/out unconditionally (a size-1 output axis
+            # still samples at the scaled cell center, not at index 0)
+            factors.append(in_size / out_size)
+        elif out_size > 1:
+            factors.append((in_size - 1) / (out_size - 1))
         else:
-            factors.append(1.0 if grid_mode else 0.0)
+            factors.append(0.0)
 
     out_dtype = _resolve_out_dtype(output, x)
     filtered, npad = _prefiltered(x, order, mode, cval, prefilter,

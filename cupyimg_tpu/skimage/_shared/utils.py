@@ -35,6 +35,8 @@ def safe_as_int(val, atol=1e-3):
     """Coerce near-integer values to int, raising if they aren't integral
     (skimage parity)."""
     mod = np.asarray(val) % 1
+    # measure distance to the NEAREST integer (19.9999 -> 0.0001)
+    mod = np.where(mod > 0.5, 1 - mod, mod)
     try:
         np.testing.assert_allclose(mod, 0, atol=atol)
     except AssertionError:
@@ -66,10 +68,18 @@ def _validate_interpolation_order(image_dtype, order):
             "Spline interpolation order has to be in the range 0-5."
         )
     if np.dtype(image_dtype) == bool and order != 0:
-        raise ValueError(
+        # reference _shared/utils.py:453-461: a FutureWarning (0.19 turns
+        # it into a ValueError)
+        import warnings
+
+        warnings.warn(
             "Input image dtype is bool. Interpolation is not defined "
             "with bool data type. Please set order to 0 or explicitly "
-            "cast input image to another data type."
+            "cast input image to another data type. Starting from "
+            "version 0.19 a ValueError will be raised instead of this "
+            "warning.",
+            FutureWarning,
+            stacklevel=2,
         )
     return order
 

@@ -71,10 +71,19 @@ def _prepare_colorarray(arr, channel_count=3):
     return img_as_float(arr)
 
 
+def _matmul_exact(a, b):
+    """Matmul at full input precision: TPU MXU defaults to bfloat16
+    accumulation for f32 jnp matmuls, which costs ~3 digits on these 3x3
+    color pipelines (observed 5e-2 Lab roundtrip error vs 3e-6)."""
+    import jax.lax as lax
+
+    return jnp.matmul(a, b, precision=lax.Precision.HIGHEST)
+
+
 def _convert(matrix, arr):
     arr = _prepare_colorarray(arr)
     m = jnp.asarray(matrix, dtype=arr.dtype)
-    return arr @ m.T
+    return _matmul_exact(arr, m.T)
 
 
 # --- conversion matrices (published standards) ------------------------------
@@ -385,9 +394,33 @@ def rgbcie2rgb(rgbcie):
 
 
 def rgb2gray(rgb):
-    """RGB -> luminance (Y709 weights; skimage parity)."""
+    """RGB -> luminance (Y709 weights; skimage parity incl. the
+    deprecated 2-D pass-through and >3-channel slicing, reference
+    colorconv.py:912-937)."""
+    rgb = jnp.asarray(rgb)
+    if rgb.ndim == 2:
+        warn(
+            "The behavior of rgb2gray will change in scikit-image 0.19. "
+            "Currently, rgb2gray allows 2D grayscale image to be passed "
+            "as inputs and leaves them unmodified as outputs. "
+            "Starting from version 0.19, 2D arrays will "
+            "be treated as 1D images with 3 channels.",
+            FutureWarning,
+            stacklevel=2,
+        )
+        return rgb
+    if rgb.shape[-1] > 3:
+        warn(
+            "Non RGB image conversion is now deprecated. For RGBA images, "
+            "please use rgb2gray(rgba2rgb(rgb)) instead. In version 0.19, "
+            "a ValueError will be raised if input image last dimension "
+            "length is not 3.",
+            FutureWarning,
+            stacklevel=2,
+        )
+        rgb = rgb[..., :3]
     rgb = _prepare_colorarray(rgb)
-    return rgb @ jnp.asarray(gray_from_rgb[0], dtype=rgb.dtype)
+    return _matmul_exact(rgb, jnp.asarray(gray_from_rgb[0], dtype=rgb.dtype))
 
 
 rgb2grey = rgb2gray
@@ -489,6 +522,13 @@ def lab2xyz(lab, illuminant="D65", observer="2"):
     y = (L + 16.0) / 116.0
     x = (a / 500.0) + y
     z = y - (b / 200.0)
+    n_invalid = int(jnp.count_nonzero(z < 0))
+    if n_invalid != 0:
+        # skimage warns and clips out-of-gamut Z (colorconv.py parity)
+        warn(
+            "Color data out of range: Z < 0 in %s pixels" % n_invalid,
+            stacklevel=2,
+        )
     z = jnp.maximum(z, 0)
     out = jnp.stack([x, y, z], axis=-1)
     mask = out > 0.2068966
@@ -511,14 +551,16 @@ def xyz2luv(xyz, illuminant="D65", observer="2"):
     """XYZ -> CIE-LUV (skimage parity)."""
     arr = _prepare_colorarray(xyz)
     x, y, z = arr[..., 0], arr[..., 1], arr[..., 2]
-    eps = np.finfo(np.float64).eps
+    eps = float(np.finfo(np.float64).eps)  # weak-typed: no f32->f64 promotion
     xyz_ref_white = np.asarray(get_xyz_coords(illuminant, observer))
     L = jnp.where(
         y > 0.008856, 116.0 * jnp.cbrt(jnp.maximum(y, 1e-30)) - 16.0,
         903.3 * y,
     )
-    u0 = 4 * xyz_ref_white[0] / np.dot([1, 15, 3], xyz_ref_white)
-    v0 = 9 * xyz_ref_white[1] / np.dot([1, 15, 3], xyz_ref_white)
+    # Python floats stay weakly typed so a float32 image is not
+    # promoted to float64 by the np.float64 reference-white scalars
+    u0 = float(4 * xyz_ref_white[0] / np.dot([1, 15, 3], xyz_ref_white))
+    v0 = float(9 * xyz_ref_white[1] / np.dot([1, 15, 3], xyz_ref_white))
     denom = x + 15 * y + 3 * z
     safe = jnp.where(denom == 0, eps, denom)
     u = 13 * L * (4 * x / safe - u0)
@@ -530,13 +572,13 @@ def luv2xyz(luv, illuminant="D65", observer="2"):
     """CIE-LUV -> XYZ (skimage parity)."""
     arr = _prepare_colorarray(luv)
     L, u, v = arr[..., 0], arr[..., 1], arr[..., 2]
-    eps = np.finfo(np.float64).eps
+    eps = float(np.finfo(np.float64).eps)  # weak-typed: no f32->f64 promotion
     xyz_ref_white = np.asarray(get_xyz_coords(illuminant, observer))
     y = jnp.where(
         L > 7.999625, ((L + 16.0) / 116.0) ** 3, L / 903.3
-    ) * xyz_ref_white[1]
-    u0 = 4 * xyz_ref_white[0] / np.dot([1, 15, 3], xyz_ref_white)
-    v0 = 9 * xyz_ref_white[1] / np.dot([1, 15, 3], xyz_ref_white)
+    ) * float(xyz_ref_white[1])
+    u0 = float(4 * xyz_ref_white[0] / np.dot([1, 15, 3], xyz_ref_white))
+    v0 = float(9 * xyz_ref_white[1] / np.dot([1, 15, 3], xyz_ref_white))
     safe_L = jnp.where(L == 0, eps, 13 * L)
     a = u0 + u / safe_L
     d = v0 + v / safe_L
@@ -594,8 +636,9 @@ def separate_stains(rgb, conv_matrix):
     # NB: no clipping to >= 0 — the reference (colorconv.py:1619-1625)
     # keeps negative concentrations, which makes combine_stains an exact
     # inverse for in-gamut inputs.
-    return (jnp.log(rgb) / log_adjust) @ jnp.asarray(
-        conv_matrix, dtype=rgb.dtype
+    return _matmul_exact(
+        jnp.log(rgb) / log_adjust,
+        jnp.asarray(conv_matrix, dtype=rgb.dtype),
     )
 
 
@@ -603,8 +646,9 @@ def combine_stains(stains, conv_matrix):
     """Stain concentrations -> RGB (skimage parity)."""
     stains = _prepare_colorarray(stains)
     log_adjust = -np.log(1e-6)
-    log_rgb = -(stains * log_adjust) @ jnp.asarray(
-        conv_matrix, dtype=stains.dtype
+    log_rgb = _matmul_exact(
+        -(stains * log_adjust),
+        jnp.asarray(conv_matrix, dtype=stains.dtype),
     )
     return jnp.clip(jnp.exp(log_rgb), 0, 1)
 

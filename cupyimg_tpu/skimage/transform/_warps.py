@@ -130,7 +130,9 @@ def warp(
     if image.size == 0:
         raise ValueError("Cannot warp empty image with dimensions")
     order = _validate_interpolation_order(image.dtype, order)
-    if order > 0:
+    if np.dtype(image.dtype).kind != "c":
+        # reference _warps.py:946-951: ALWAYS float (bool/int included),
+        # scaled by img_as_float unless preserve_range
         image = convert_to_float(image, preserve_range)
     input_shape = image.shape
     if output_shape is None:
@@ -182,6 +184,11 @@ def warp(
     elif callable(inverse_map) or isinstance(
         inverse_map, HOMOGRAPHY_TRANSFORMS
     ):
+        if image.ndim < 2 or image.ndim > 3:
+            raise ValueError(
+                "Only 2-D images (grayscale or color) are supported, "
+                "when providing a callable `inverse_map`."
+            )
         if isinstance(inverse_map, HOMOGRAPHY_TRANSFORMS):
             def coord_map(c):
                 return inverse_map(c)
@@ -223,15 +230,18 @@ def resize(
         # append channel dims
         input_shape = input_shape + (1,) * (len(output_shape) - image.ndim)
         image = image.reshape(input_shape)
-    elif len(output_shape) < image.ndim:
-        output_shape = output_shape + input_shape[len(output_shape):]
+    elif len(output_shape) == image.ndim - 1:
+        # multichannel: keep the trailing channel axis
+        output_shape = output_shape + (input_shape[-1],)
+    elif len(output_shape) < image.ndim - 1:
+        raise ValueError(
+            "len(output_shape) cannot be smaller than the image dimensions"
+        )
 
     factors = np.asarray(input_shape, dtype=float) / np.asarray(
         output_shape, dtype=float
     )
     order = _validate_interpolation_order(image.dtype, order)
-    if order > 0:
-        image = convert_to_float(image, preserve_range)
 
     if anti_aliasing is None:
         anti_aliasing = (
@@ -239,7 +249,22 @@ def resize(
             and any(x < y for x, y in zip(output_shape, input_shape))
         )
     if np.dtype(image.dtype) == bool and anti_aliasing:
-        raise ValueError("anti_aliasing must be False for boolean images")
+        # reference _warps.py:128-138: FutureWarning (0.19 raises)
+        import warnings
+
+        warnings.warn(
+            "Input image dtype is bool. Gaussian convolution is not "
+            "defined with bool data type. Please set anti_aliasing to "
+            "False or explicitly cast input image to another data type. "
+            "Starting from version 0.19 a ValueError will be raised "
+            "instead of this warning.",
+            FutureWarning,
+            stacklevel=2,
+        )
+    # skimage converts every non-complex input to float (img_as_float
+    # scaling unless preserve_range), for order 0 included
+    if np.dtype(image.dtype).kind != "c":
+        image = convert_to_float(image, preserve_range)
 
     ndi_mode = _to_ndimage_mode(mode)
     if anti_aliasing:
@@ -253,6 +278,13 @@ def resize(
                 raise ValueError(
                     "Anti-aliasing standard deviation must be "
                     "greater than or equal to zero"
+                )
+            elif np.any((anti_aliasing_sigma > 0) & (factors <= 1)):
+                import warnings
+
+                warnings.warn(
+                    "Anti-aliasing standard deviation greater than zero "
+                    "but not down-sampling along all axes"
                 )
         image = ndi.gaussian_filter(
             image, list(anti_aliasing_sigma), cval=cval, mode=ndi_mode
