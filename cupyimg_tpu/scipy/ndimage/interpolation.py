@@ -258,6 +258,11 @@ def _separable_coords(coordinates, ndim):
     # probe is ~7 round trips; jitted it is a single executable whose
     # refs stay on device
     ok, refs = _separable_probe_jit(coordinates, ndim)
+    if isinstance(ok, jax.core.Tracer):
+        # under an outer jit even concrete closed-over coordinates trace:
+        # the probe result is then undecidable without a host sync, so
+        # keep the general path (traced calls stay compilable)
+        return None
     if not bool(ok):
         return None
     return refs

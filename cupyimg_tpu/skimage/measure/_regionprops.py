@@ -548,6 +548,12 @@ class RegionProperties:
             f"'{type(self)}' object has no attribute '{attr}'"
         )
 
+    def __dir__(self):
+        # __getattr__-backed measurements must still show up in dir()
+        # (skimage exposes them as class properties; tooling and the
+        # props-dict-completeness contract rely on enumerability)
+        return sorted(set(PROPS.values()) | {"label", "slice"})
+
     def __getitem__(self, key):
         value = getattr(self, key, None)
         if value is not None:
