@@ -16,7 +16,8 @@ from jax import lax
 __all__ = ["ensure_spacing"]
 
 
-def ensure_spacing(coord, spacing=1, p_norm=np.inf, *, max_out=None):
+def ensure_spacing(coord, spacing=1, p_norm=np.inf, *, max_out=None,
+                   strict=True):
     """Return a subset of ``coord`` (priority = row order) pairwise
     separated by at least ``spacing``.
 
@@ -37,7 +38,10 @@ def ensure_spacing(coord, spacing=1, p_norm=np.inf, *, max_out=None):
         dist = jnp.max(jnp.abs(diff), axis=-1)
     else:
         dist = jnp.sum(jnp.abs(diff) ** p_norm, axis=-1) ** (1.0 / p_norm)
-    close = dist < spacing
+    # strict=True (skimage ensure_spacing): points at EXACTLY `spacing`
+    # survive. strict=False (corner_peaks' raw query_ball_point loop):
+    # distance == spacing also suppresses.
+    close = dist < spacing if strict else dist <= spacing
 
     def body(i, keep):
         # suppressed if any earlier kept point is within spacing

@@ -6,6 +6,7 @@ VPU math — no LAPACK round-trip), and the classic corner responses."""
 from __future__ import annotations
 
 import itertools
+from warnings import warn
 
 import numpy as np
 import jax.numpy as jnp
@@ -39,9 +40,27 @@ def _compute_derivatives(image, mode="constant", cval=0):
     ]
 
 
-def structure_tensor(image, sigma=1, mode="constant", cval=0, order="rc"):
+def structure_tensor(image, sigma=1, mode="constant", cval=0, order=None):
     """Structure tensor: gaussian-smoothed outer products of gradients
-    (skimage parity; 'rc' derivative order)."""
+    (skimage parity incl. the deprecated implicit 2-D 'xy' default,
+    reference corner.py:46-139)."""
+    image = jnp.asarray(image)
+    if order == "xy" and image.ndim > 2:
+        raise ValueError('Only "rc" order is supported for dim > 2.')
+    if order is None:
+        if image.ndim == 2:
+            warn(
+                "deprecation warning: the default order of the structure "
+                'tensor values will be "row-column" instead of "xy" '
+                'starting in skimage version 0.20. Use order="rc" or '
+                'order="xy" to set this explicitly.  (Specify order="xy" '
+                "to maintain the old behavior.)",
+                category=FutureWarning,
+                stacklevel=2,
+            )
+            order = "xy"
+        else:
+            order = "rc"
     image = _prepare_grayscale_input_nD(image)
     derivatives = _compute_derivatives(image, mode=mode, cval=cval)
     if order == "xy":
@@ -73,9 +92,12 @@ def hessian_matrix(image, sigma=1, mode="constant", cval=0, order="rc"):
     )
     gradients = jnp.gradient(gaussian_filtered)
     axes = range(image.ndim)
-    if order == "xy":
+    # skimage quirk kept for parity (reference corner.py:203-205):
+    # 'rc' REVERSES the axis order, so Hrr is the second derivative
+    # along the LAST axis — the documented/golden-tested behavior
+    if order == "rc":
         axes = reversed(list(axes))
-    elif order != "rc":
+    elif order != "xy":
         raise ValueError(f"unknown order: {order}")
     axes = list(axes)
     H_elems = [
@@ -154,6 +176,13 @@ def structure_tensor_eigenvalues(A_elems):
 
 def structure_tensor_eigvals(Axx, Axy, Ayy):
     """2D structure-tensor eigenvalues (legacy API; skimage parity)."""
+    warn(
+        "deprecation warning: use structure_tensor_eigenvalues instead "
+        "of structure_tensor_eigvals which will be removed in version "
+        "0.20.",
+        category=FutureWarning,
+        stacklevel=2,
+    )
     return tuple(_symmetric_eigvals_2x2(Axx, Axy, Ayy))
 
 
@@ -251,10 +280,10 @@ def shape_index(image, sigma=1, mode="constant", cval=0):
     """Koenderink & van Doorn shape index (skimage parity)."""
     H = hessian_matrix(image, sigma=sigma, mode=mode, cval=cval, order="rc")
     l1, l2 = hessian_matrix_eigvals(H)
-    denom = l2 - l1
-    safe = jnp.where(denom == 0, 1.0, denom)
-    out = (2.0 / np.pi) * jnp.arctan((l2 + l1) / safe)
-    return jnp.where(denom == 0, jnp.nan, out)
+    # IEEE semantics on purpose (skimage parity): equal eigenvalues give
+    # x/0 = +-inf -> arctan -> +-pi/2 (spherical cap = +-1); only 0/0
+    # (flat) is NaN
+    return (2.0 / np.pi) * jnp.arctan((l2 + l1) / (l2 - l1))
 
 
 def corner_kitchen_rosenfeld(image, mode="constant", cval=0):
@@ -308,7 +337,7 @@ def corner_peaks(
     image,
     min_distance=1,
     threshold_abs=None,
-    threshold_rel=0.1,
+    threshold_rel=None,
     exclude_border=True,
     indices=True,
     num_peaks=np.inf,
@@ -324,6 +353,16 @@ def corner_peaks(
     from cupyimg_tpu.skimage._shared.coord import ensure_spacing
     from cupyimg_tpu.skimage.feature.peak import peak_local_max
 
+    if indices is False:
+        warn(
+            "indices argument is deprecated and will be removed in "
+            "version 0.20. To avoid this warning, please do not use the "
+            "indices argument. Please see corner_peaks documentation for "
+            "more details.",
+            FutureWarning,
+            stacklevel=2,
+        )
+
     coords = peak_local_max(
         image,
         min_distance=min_distance,
@@ -336,8 +375,11 @@ def corner_peaks(
         num_peaks_per_label=num_peaks_per_label,
     )
     if len(coords):
+        # corner_peaks' suppression is INCLUSIVE (query_ball_point with
+        # r=min_distance, no exactly-at-spacing exemption): connected
+        # plateau peaks with equal accumulator values collapse to one
         coords = ensure_spacing(
-            coords, spacing=min_distance, p_norm=p_norm
+            coords, spacing=min_distance, p_norm=p_norm, strict=False
         )
     coords = np.asarray(coords)
     if len(coords) > num_peaks:

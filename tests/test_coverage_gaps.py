@@ -226,9 +226,11 @@ def test_hessian_matrix_on_quadratic():
     x = jnp.asarray(a * r * r + b * r * c + c0 * c * c)
     Hrr, Hrc, Hcc = feature.hessian_matrix(x, sigma=1.5, order="rc")
     sl = (slice(8, -8), slice(8, -8))
-    np.testing.assert_allclose(np.asarray(Hrr)[sl], 2 * a, rtol=1e-3)
+    # skimage quirk (kept for parity): order='rc' REVERSES the axes, so
+    # the first element is the second derivative along the LAST axis
+    np.testing.assert_allclose(np.asarray(Hrr)[sl], 2 * c0, rtol=1e-3)
     np.testing.assert_allclose(np.asarray(Hrc)[sl], b, rtol=1e-3)
-    np.testing.assert_allclose(np.asarray(Hcc)[sl], 2 * c0, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(Hcc)[sl], 2 * a, rtol=1e-3)
     l1, l2 = feature.hessian_matrix_eigvals((Hrr, Hrc, Hcc))
     H = np.array([[2 * a, b], [b, 2 * c0]])
     ev = np.linalg.eigvalsh(H)[::-1]

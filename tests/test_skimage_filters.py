@@ -240,7 +240,11 @@ class TestCorner:
         x = np.zeros((30, 30))
         x[10:20, 10:20] = 1.0
         resp = np.asarray(corner.corner_harris(x))
-        peaks = np.asarray(corner.corner_peaks(resp, min_distance=2))
+        # threshold_rel default changed to None (skimage 0.18 parity):
+        # filter weak border ripples explicitly
+        peaks = np.asarray(
+            corner.corner_peaks(resp, min_distance=2, threshold_rel=0.1)
+        )
         assert len(peaks) >= 4
         for p in peaks:
             assert 8 <= p[0] <= 21 and 8 <= p[1] <= 21
