@@ -225,6 +225,10 @@ def upfirdn(
     if mode == "zero":
         mode = "constant"
         cval = 0
+    elif mode == "periodic":
+        # fast_upfirdn's name for circular extension (the reference's
+        # ndimage 'wrap' route maps to it, _util.py:163-164)
+        mode = "wrap"
     h = jnp.asarray(h)
     x = jnp.asarray(x)
     if h.ndim != 1 or h.shape[0] == 0:
