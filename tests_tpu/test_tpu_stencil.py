@@ -1,0 +1,225 @@
+"""Compiled Pallas stencil kernels on the real TPU vs scipy oracles.
+
+Covers the fused separable engine, the dense nd stencil, and the
+min/max/rank paths of ``ops/pallas_stencil.py`` — the engines that replace
+the reference's generated CUDA stencils (cupyimg/scipy/ndimage/
+_filters_core.py:190-348, filters.py:1510-1848).  Shapes are deliberately
+non-lane-aligned (1100, 120 are not multiples of 128) and above the 1 Mi
+element dispatch floor so the REAL kernels run, not the jnp fallback.
+"""
+
+import functools
+
+import numpy as np
+import pytest
+import scipy.ndimage as sndi
+
+import jax
+import jax.numpy as jnp
+
+import cupyimg_tpu.scipy.ndimage as ndi
+
+from _tpu_helpers import assert_close
+
+SHAPE_2D = (1024, 1100)
+SHAPE_3D = (102, 110, 120)
+
+
+@functools.lru_cache(maxsize=8)
+def _data(shape, seed=0):
+    x = np.random.RandomState(seed).randn(*shape).astype(np.float32)
+    return x, jnp.asarray(x)
+
+
+def _assert_pallas(fn, *args):
+    """The computation must actually contain a Pallas kernel — a silent
+    fallback to the jnp path is the round-1 failure mode this tier
+    exists to catch."""
+    jaxpr = str(jax.make_jaxpr(fn)(*args))
+    assert "pallas_call" in jaxpr, "expected fused Pallas dispatch"
+
+
+class TestSeparable:
+    @pytest.mark.parametrize("mode", ["reflect", "nearest", "mirror",
+                                      "wrap", "constant"])
+    def test_uniform_3d_modes(self, mode):
+        x, xg = _data(SHAPE_3D)
+        got = ndi.uniform_filter(xg, size=5, mode=mode, dtype_mode="float")
+        want = sndi.uniform_filter(x.astype(np.float64), size=5, mode=mode)
+        assert_close(got, want, rtol=2e-5, atol=2e-5)
+
+    def test_uniform_3d_dispatches_pallas(self):
+        _, xg = _data(SHAPE_3D)
+        fn = functools.partial(ndi.uniform_filter, size=5,
+                               dtype_mode="float")
+        _assert_pallas(fn, xg)
+
+    def test_uniform_2d_dispatches_pallas(self):
+        _, xg = _data(SHAPE_2D)
+        fn = functools.partial(ndi.uniform_filter, size=7,
+                               dtype_mode="float")
+        _assert_pallas(fn, xg)
+
+    @pytest.mark.parametrize("sigma", [1.0, 2.5])
+    def test_gaussian_2d(self, sigma):
+        x, xg = _data(SHAPE_2D)
+        got = ndi.gaussian_filter(xg, sigma=sigma, dtype_mode="float")
+        want = sndi.gaussian_filter(x.astype(np.float64), sigma=sigma)
+        assert_close(got, want, rtol=2e-5, atol=2e-5)
+
+    def test_gaussian_3d_anisotropic(self):
+        x, xg = _data(SHAPE_3D)
+        got = ndi.gaussian_filter(xg, sigma=(1.0, 2.0, 1.5),
+                                  dtype_mode="float")
+        want = sndi.gaussian_filter(x.astype(np.float64),
+                                    sigma=(1.0, 2.0, 1.5))
+        assert_close(got, want, rtol=2e-5, atol=2e-5)
+
+    @pytest.mark.parametrize("axis", [0, 1, -1])
+    def test_sobel_3d(self, axis):
+        x, xg = _data(SHAPE_3D)
+        got = ndi.sobel(xg, axis=axis, dtype_mode="float")
+        want = sndi.sobel(x.astype(np.float64), axis=axis)
+        assert_close(got, want, rtol=2e-5, atol=2e-4)
+
+    def test_prewitt_2d(self):
+        x, xg = _data(SHAPE_2D)
+        got = ndi.prewitt(xg, axis=0, dtype_mode="float")
+        want = sndi.prewitt(x.astype(np.float64), axis=0)
+        assert_close(got, want, rtol=2e-5, atol=2e-4)
+
+    def test_laplace_2d(self):
+        x, xg = _data(SHAPE_2D)
+        got = ndi.laplace(xg, dtype_mode="float")
+        want = sndi.laplace(x.astype(np.float64))
+        assert_close(got, want, rtol=2e-5, atol=2e-4)
+
+    def test_uniform_2d_origin(self):
+        x, xg = _data(SHAPE_2D)
+        got = ndi.uniform_filter(xg, size=(5, 4), origin=(1, -2),
+                                 dtype_mode="float")
+        want = sndi.uniform_filter(x.astype(np.float64), size=(5, 4),
+                                   origin=(1, -2))
+        assert_close(got, want, rtol=2e-5, atol=2e-5)
+
+    def test_correlate1d_wide_taps(self):
+        x, xg = _data(SHAPE_2D)
+        w = np.random.RandomState(3).randn(31).astype(np.float32)
+        got = ndi.correlate1d(xg, jnp.asarray(w), axis=1,
+                              dtype_mode="float")
+        want = sndi.correlate1d(x.astype(np.float64), w.astype(np.float64),
+                                axis=1)
+        assert_close(got, want, rtol=2e-5, atol=2e-4)
+
+    def test_constant_nonzero_cval_uniform(self):
+        x, xg = _data(SHAPE_3D)
+        got = ndi.uniform_filter(xg, size=3, mode="constant", cval=2.5,
+                                 dtype_mode="float")
+        want = sndi.uniform_filter(x.astype(np.float64), size=3,
+                                   mode="constant", cval=2.5)
+        assert_close(got, want, rtol=2e-5, atol=2e-5)
+
+
+class TestDense:
+    @pytest.mark.parametrize("kshape", [(7, 7), (15, 15), (5, 9)])
+    def test_correlate_2d(self, kshape):
+        x, xg = _data(SHAPE_2D)
+        w = np.random.RandomState(1).randn(*kshape).astype(np.float32)
+        got = ndi.correlate(xg, jnp.asarray(w), dtype_mode="float")
+        want = sndi.correlate(x.astype(np.float64), w.astype(np.float64))
+        assert_close(got, want, rtol=2e-5, atol=2e-3)
+
+    def test_convolve_3d(self):
+        x, xg = _data(SHAPE_3D)
+        w = np.random.RandomState(2).randn(3, 5, 3).astype(np.float32)
+        got = ndi.convolve(xg, jnp.asarray(w), mode="nearest",
+                           dtype_mode="float")
+        want = sndi.convolve(x.astype(np.float64), w.astype(np.float64),
+                             mode="nearest")
+        assert_close(got, want, rtol=2e-5, atol=2e-3)
+
+    def test_sparse_weights(self):
+        x, xg = _data(SHAPE_2D)
+        w = np.zeros((9, 9), np.float32)
+        w[::4, ::4] = np.random.RandomState(4).randn(3, 3)
+        got = ndi.correlate(xg, jnp.asarray(w), dtype_mode="float")
+        want = sndi.correlate(x.astype(np.float64), w.astype(np.float64))
+        assert_close(got, want, rtol=2e-5, atol=2e-3)
+
+
+class TestRank:
+    def test_median_2d_dispatches_pallas(self):
+        _, xg = _data(SHAPE_2D)
+        fn = functools.partial(ndi.median_filter, size=5)
+        _assert_pallas(fn, xg)
+
+    @pytest.mark.parametrize("size", [3, 5])
+    def test_median_2d(self, size):
+        x, xg = _data(SHAPE_2D)
+        got = ndi.median_filter(xg, size=size)
+        want = sndi.median_filter(x, size=size)
+        assert_close(got, want, rtol=0, atol=0)
+
+    def test_median_3d(self):
+        x, xg = _data(SHAPE_3D)
+        got = ndi.median_filter(xg, size=3, mode="nearest")
+        want = sndi.median_filter(x, size=3, mode="nearest")
+        assert_close(got, want, rtol=0, atol=0)
+
+    def test_rank_filter_footprint(self):
+        x, xg = _data(SHAPE_2D)
+        fp = np.array([[0, 1, 0], [1, 1, 1], [0, 1, 0]], bool)
+        got = ndi.rank_filter(xg, 2, footprint=jnp.asarray(fp))
+        want = sndi.rank_filter(x, 2, footprint=fp)
+        assert_close(got, want, rtol=0, atol=0)
+
+    def test_percentile_filter(self):
+        x, xg = _data(SHAPE_2D)
+        got = ndi.percentile_filter(xg, 30, size=4)
+        want = sndi.percentile_filter(x, 30, size=4)
+        assert_close(got, want, rtol=0, atol=0)
+
+
+class TestMinMaxMorph:
+    @pytest.mark.parametrize("size", [5, (3, 7)])
+    def test_minimum_2d(self, size):
+        x, xg = _data(SHAPE_2D)
+        got = ndi.minimum_filter(xg, size=size)
+        want = sndi.minimum_filter(x, size=size)
+        assert_close(got, want, rtol=0, atol=0)
+
+    def test_maximum_3d(self):
+        x, xg = _data(SHAPE_3D)
+        got = ndi.maximum_filter(xg, size=5)
+        want = sndi.maximum_filter(x, size=5)
+        assert_close(got, want, rtol=0, atol=0)
+
+    def test_minimum_footprint(self):
+        x, xg = _data(SHAPE_2D)
+        fp = np.array([[1, 0, 1], [0, 1, 0], [1, 0, 1]], bool)
+        got = ndi.minimum_filter(xg, footprint=jnp.asarray(fp))
+        want = sndi.minimum_filter(x, footprint=fp)
+        assert_close(got, want, rtol=0, atol=0)
+
+    def test_grey_erosion_dilation(self):
+        x, xg = _data(SHAPE_2D)
+        got_e = ndi.grey_erosion(xg, size=(5, 5))
+        got_d = ndi.grey_dilation(xg, size=(5, 5))
+        assert_close(got_e, sndi.grey_erosion(x, size=(5, 5)))
+        assert_close(got_d, sndi.grey_dilation(x, size=(5, 5)))
+
+    def test_binary_erosion(self):
+        x, _ = _data(SHAPE_2D)
+        b = x > 0.3
+        bg = jnp.asarray(b)
+        got = ndi.binary_erosion(bg, iterations=2)
+        want = sndi.binary_erosion(b, iterations=2)
+        np.testing.assert_array_equal(np.asarray(got), want)
+
+    def test_binary_dilation_structure(self):
+        x, _ = _data(SHAPE_2D)
+        b = x > 1.0
+        st = sndi.generate_binary_structure(2, 2)
+        got = ndi.binary_dilation(jnp.asarray(b), structure=jnp.asarray(st))
+        want = sndi.binary_dilation(b, structure=st)
+        np.testing.assert_array_equal(np.asarray(got), want)
