@@ -80,6 +80,36 @@ def main():
                     v, jnp.ones((9, 9), jnp.float32) / 81.0, mesh, spec
                 )
             ),
+            "rank_min_s7": jax.jit(
+                lambda v: parallel.sharded_minimum_filter(
+                    v, 7, mesh, spec
+                )
+            ),
+            "dense_correlate_k5": jax.jit(
+                lambda v: parallel.sharded_correlate(
+                    v,
+                    jnp.asarray(
+                        np.random.RandomState(3)
+                        .randn(5, 5)
+                        .astype(np.float32)
+                    ),
+                    mesh,
+                    spec,
+                )
+            ),
+            "affine_order1": jax.jit(
+                lambda v: parallel.sharded_affine_transform(
+                    v,
+                    jnp.asarray(np.array([1.013, 0.987])),
+                    offset=(3.1, -2.2),
+                    mesh=mesh,
+                    spec=spec,
+                    order=1,
+                )
+            ),
+            "label": lambda v: parallel.sharded_label(
+                (v > 0.4).astype(jnp.float32), mesh, spec
+            )[0],
         }
         for name, fn in cases.items():
             ms = timed_ms(fn, xg)

@@ -138,6 +138,54 @@ def _peak_gbps():
     return _PEAK_GBPS
 
 
+_VPU_PEAK = None
+
+
+def _vpu_peak_gflops():
+    """Measured VPU f32 FMA peak (GFLOP/s): a long in-VMEM multiply-add
+    chain in a Pallas kernel, slope-timed.
+
+    Compute roofline for the ops whose cost is per-tap arithmetic, not
+    HBM traffic — a dense k*k correlate does 2*k^2 flops/element, so at
+    e.g. k=15 the VPU, not HBM, is the wall (the reference's dense CUDA
+    stencil is equally compute-bound there, just against SM FLOPs:
+    cupyimg/scipy/ndimage/_filters_core.py:190-348)."""
+    global _VPU_PEAK
+    if _VPU_PEAK is None:
+        from jax.experimental import pallas as pl
+
+        U = 64   # FMAs per accumulator per pass
+        NACC = 8  # independent chains: a single dependent chain is
+                  # latency-bound and understates peak ~2x (measured:
+                  # the dense k15 stencil beat the 1-chain "peak")
+
+        def _fma_kernel(src_ref, dst_ref):
+            x = src_ref[...] * 0.5 + 0.25
+            accs = [x + float(i) for i in range(NACC)]
+            for _ in range(U):
+                accs = [a * x + x for a in accs]
+            out = accs[0]
+            for a in accs[1:]:
+                out = out + a
+            dst_ref[...] = out
+
+        def _chain(v):
+            return pl.pallas_call(
+                _fma_kernel,
+                out_shape=jax.ShapeDtypeStruct(v.shape, v.dtype),
+                grid=(v.shape[0] // 256,),
+                in_specs=[pl.BlockSpec((256, 512), lambda i: (i, 0))],
+                out_specs=pl.BlockSpec((256, 512), lambda i: (i, 0)),
+            )(v)
+
+        x = jnp.asarray(
+            np.random.RandomState(9).randn(4096, 512).astype(np.float32)
+        )
+        ms = _slope_ms(_chain, x, n1=8, n2=48)
+        _VPU_PEAK = x.size * U * NACC * 2 / 1e6 / ms  # GFLOP/s
+    return _VPU_PEAK
+
+
 def _complex_supported():
     """Probe complex-dtype device support in a SUBPROCESS.
 
@@ -171,7 +219,22 @@ def _complex_supported():
     return _COMPLEX_OK
 
 
-def emit(name, ms, nbytes=None, needs_complex=False):
+
+def _rank2d_flops(w0, w1, rank, npix):
+    """Exact per-element flops of the shared-presort 2-D rank kernel:
+    2 ops (min+max) per compare-exchange; lane presort shared across
+    row taps + per-point pruned merge (ops/pallas_stencil.py
+    _make_rank_kernel_2d)."""
+    from cupyimg_tpu.ops.sorting_networks import (
+        batcher_network, presorted_rank_network,
+    )
+
+    shared = len(batcher_network(w1))
+    per_point = len(presorted_rank_network(w1, w0, rank)[0])
+    return 2 * (shared + per_point) * npix
+
+
+def emit(name, ms, nbytes=None, needs_complex=False, flops=None):
     only = os.environ.get("BENCH_SUITE_ONLY")
     if only is not None and not re.search(only, name):
         return
@@ -208,6 +271,18 @@ def emit(name, ms, nbytes=None, needs_complex=False):
         gbps = nbytes / 1e9 / (ms / 1e3)
         rec["GBps"] = round(gbps, 1)
         rec["pct_roofline"] = round(100.0 * gbps / _peak_gbps(), 1)
+    if flops is not None and nbytes:
+        # light-speed time = whichever wall binds: streaming the bytes
+        # at measured peak HBM bandwidth, or doing the arithmetic at
+        # measured peak VPU FMA rate.  pct_lightspeed is the honest
+        # roofline figure for compute-bound ops (dense stencils, rank
+        # networks), where pct_roofline's bandwidth framing understates.
+        t_bw_ms = nbytes / 1e9 / _peak_gbps() * 1e3
+        t_fl_ms = flops / 1e6 / _vpu_peak_gflops()
+        rec["pct_lightspeed"] = round(
+            100.0 * max(t_bw_ms, t_fl_ms) / ms, 1
+        )
+        rec["bound"] = "compute" if t_fl_ms > t_bw_ms else "bandwidth"
     print(json.dumps(rec), flush=True)
 
 
@@ -251,6 +326,7 @@ def main():
                 img,
             ),
             nb2,
+            flops=2 * k * k * img.size,
         )
 
     # sparse footprint: the reference documents a masked-kernel crossover
@@ -264,7 +340,8 @@ def main():
     emit("correlate_sparse_9x9_nnz8_2d_4096",
          lambda: _slope_ms(
              lambda v: ndi.correlate(v, np.asarray(k9s), mode="reflect",
-                                     dtype_mode="float"), img), nb2)
+                                     dtype_mode="float"), img), nb2,
+         flops=2 * 8 * img.size)
     emit("correlate_dense_9x9_2d_4096",
          lambda: _slope_ms(
              lambda v: ndi.correlate(v, np.asarray(k9d), mode="reflect",
@@ -276,9 +353,11 @@ def main():
     emit("maximum_2d_4096_s9",
          lambda: _slope_ms(lambda v: ndi.maximum_filter(v, 9), img), nb2)
     emit("median_2d_4096_s3",
-         lambda: _slope_ms(lambda v: ndi.median_filter(v, 3), img), nb2)
+         lambda: _slope_ms(lambda v: ndi.median_filter(v, 3), img), nb2,
+         flops=_rank2d_flops(3, 3, 4, img.size))
     emit("median_2d_4096_s5",
-         lambda: _slope_ms(lambda v: ndi.median_filter(v, 5), img), nb2)
+         lambda: _slope_ms(lambda v: ndi.median_filter(v, 5), img), nb2,
+         flops=_rank2d_flops(5, 5, 12, img.size))
     bin_img = img > 0
     emit("binary_erosion_2d_4096",
          lambda: _slope_ms(lambda v: ndi.binary_erosion(v), bin_img), nb2 // 4)
@@ -290,9 +369,12 @@ def main():
          lambda: _slope_ms(lambda v: ndi.grey_opening(v, size=5), img), nb2)
     emit("percentile_filter_2d_4096_p30_s5",
          lambda: _slope_ms(lambda v: ndi.percentile_filter(v, 30, size=5), img),
-         nb2)
+         nb2, flops=_rank2d_flops(5, 5, 7, img.size))
+    # 3-D 3x3x3 median: 21 shared + 55 per-point compare-exchanges
+    # (ops/pallas_stencil.py _make_rank_kernel_3d docstring)
     emit("median_3d_256c_s3",
-         lambda: _slope_ms(lambda v: ndi.median_filter(v, 3), vol), nb3)
+         lambda: _slope_ms(lambda v: ndi.median_filter(v, 3), vol), nb3,
+         flops=2 * (21 + 55) * vol.size)
 
     # --- interpolation / warping suite ------------------------------------
     mat = np.array([[0.9, 0.1], [-0.1, 0.9]], np.float32)
@@ -456,6 +538,7 @@ def main():
     print(json.dumps({
         "sync_floor_ms": round(_sync_floor_ms(), 3),
         "peak_copy_GBps": round(_peak_gbps(), 1),
+        "vpu_peak_GFLOPs": round(_vpu_peak_gflops(), 0),
     }))
 
 
