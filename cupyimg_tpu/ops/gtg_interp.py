@@ -118,7 +118,11 @@ def gtg_plan(matrix, order, out_shape):
     # A-stage always sweeps the full slab-row grid and the B-stage a
     # full 128x128 point grid), so prefer the largest TI whose source
     # span still fits the slab budget.
-    for ti in (112, 96, 80, 64, 48, 32, 16, 8):
+    # 8-step TI granularity: rotation-like matrices burn budget on the
+    # |a01|*(LANES-1) term, and the coarse old ladder (112, 96, 80, 64,
+    # 48, ...) could leave up to 25% of the B-stage's fixed 128-lane
+    # point grid idle (e.g. a 31-degree rotation fit TI=56 but got 48)
+    for ti in range(112, 7, -8):
         span0 = abs(a00) * (ti - 1) + abs(a01) * (_LANES - 1) + ntaps - 1
         span1 = abs(a10) * (ti - 1) + abs(a11) * (_LANES - 1) + ntaps - 1
         # row budget: 128 slab rows minus 8-align slack and safety;
@@ -294,13 +298,40 @@ def _make_kernel(mshape, lo0, lo1, order, TI, NP, NW, interpret,
         frB = (a00f * iB_f + (a01f * jB_f + o0f)) - rqB
         rlB = rqB.astype(jnp.int32) + (lo0 + base_off) - rmin8
 
-        # ---- A-side grids: layout (s0 on sublanes, j on lanes)
-        s0A = jax.lax.broadcasted_iota(jnp.int32, (_SLAB0, _LANES), 0)
-        djA = jax.lax.broadcasted_iota(jnp.int32, (_SLAB0, _LANES), 1)
-        jA_f = djA.astype(f32) + j0f
-        # target route floor for slab row s0 at row tap ki:
-        # route_r(di) == s0 + rmin8 - lo0 - base_off - ki
-        s0_base = (s0A + (rmin8 - lo0 - base_off)).astype(f32)
+        # ---- A-side grids: layout (s0 on sublanes, j on lanes).
+        # Routing identity: the ki-tap routing row di_first(s0, ki)
+        # equals di_first(s0 - ki, 0) — the target floors are linear in
+        # s0 with slope 1 — so the inversion, column floors, and
+        # weights for every tap ki are SUBLANE SHIFTS of one base
+        # computation.  Compute routing ONCE over an extended row range
+        # [-EXT, SLAB0) and slice per ki, instead of re-running
+        # inv_first/route_c/spline-weights ntaps times (order 3 pays 4x
+        # otherwise).
+        EXT = ntaps - 1
+        s0E = jax.lax.broadcasted_iota(
+            jnp.int32, (_SLAB0 + EXT, _LANES), 0
+        ) - EXT
+        djE = jax.lax.broadcasted_iota(
+            jnp.int32, (_SLAB0 + EXT, _LANES), 1
+        )
+        jE_f = djE.astype(f32) + j0f
+        # target route floor for (extended) slab row s0 at tap 0:
+        # route_r(di) == s0 + rmin8 - lo0 - base_off
+        s0_base_ext = (s0E + (rmin8 - lo0 - base_off)).astype(f32)
+
+        di_first_ext = inv_first(s0_base_ext, djE)
+        cls_ext = []
+        wcs_ext = []
+        for p in range(NP):
+            di_p = di_first_ext + f32(p)  # tile-local row, f32 ints
+            di_pi = di_p.astype(jnp.int32)
+            i_p = di_p + i0f
+            cq = route_c(di_pi, djE)
+            fcA = (a10f * i_p + (a11f * jE_f + o1f)) - cq
+            cls_ext.append(
+                cq.astype(jnp.int32) + (lo1 + base_off) - cmin_true
+            )
+            wcs_ext.append(_tap_weights(fcA, order))
 
         wrB = _tap_weights(frB, order)
         if NP == 2:
@@ -308,34 +339,47 @@ def _make_kernel(mshape, lo0, lo1, order, TI, NP, NW, interpret,
             selB = dB.astype(f32) - di_first_B < f32(0.5)
         accs = [jnp.zeros((_LANES, _LANES), f32) for _ in wins]
         for ki in range(ntaps):
-            # routing shared across planes: the inversion, column tap
-            # indices, and both weight sets depend only on the tile
-            di_first_A = inv_first(s0_base - f32(ki), djA)
-            cls = []
-            wcs = []
-            for p in range(NP):
-                di_p = di_first_A + f32(p)  # tile-local row, f32 ints
-                di_pi = di_p.astype(jnp.int32)
-                i_p = di_p + i0f
-                cq = route_c(di_pi, djA)
-                fcA = (a10f * i_p + (a11f * jA_f + o1f)) - cq
-                cl = (
-                    cq.astype(jnp.int32)
-                    + (lo1 + base_off)
-                    - cmin_true
-                )
-                cls.append(cl)
-                wcs.append(_tap_weights(fcA, order))
+            # slice the shared routing at sublane offset EXT - ki:
+            # rows cover s0 - ki for s0 in [0, SLAB0)
+            lo_r = EXT - ki
+            cls = [c[lo_r:lo_r + _SLAB0] for c in cls_ext]
+            wcs = [
+                [w[lo_r:lo_r + _SLAB0] for w in ws] for ws in wcs_ext
+            ]
             idxB = jnp.clip(rlB + ki, 0, _SLAB0 - 1)
+            # For NP == 2 with |a10| < 1 the two passes' column-tap
+            # floors differ by at most one lane, so their tap sets
+            # overlap in ntaps-1 of ntaps positions: gather the
+            # ntaps+1-wide union window ONCE and give each pass its
+            # half via selects — (ntaps+1) lane-gathers instead of
+            # 2*ntaps (order 3: 5 vs 8; gathers dominate the A-stage)
+            merge2 = NP == 2 and ntaps >= 2 and abs(a10) < 1.0
+            if merge2:
+                base_cl = jnp.minimum(cls[0], cls[1])
+                offs = [cls[0] > base_cl, cls[1] > base_cl]
             for pn, win in enumerate(wins):
                 Ats = []
-                for p in range(NP):
-                    A = jnp.zeros((_SLAB0, _LANES), f32)
-                    for kj in range(ntaps):
-                        A = A + wcs[p][kj] * col_gather(
-                            win, cls[p] + kj
-                        )
-                    Ats.append(A.T)
+                if merge2:
+                    g = [
+                        col_gather(win, base_cl + kj)
+                        for kj in range(ntaps + 1)
+                    ]
+                    for p in range(NP):
+                        A = jnp.zeros((_SLAB0, _LANES), f32)
+                        for kj in range(ntaps):
+                            tap = jnp.where(
+                                offs[p], g[kj + 1], g[kj]
+                            )
+                            A = A + wcs[p][kj] * tap
+                        Ats.append(A.T)
+                else:
+                    for p in range(NP):
+                        A = jnp.zeros((_SLAB0, _LANES), f32)
+                        for kj in range(ntaps):
+                            A = A + wcs[p][kj] * col_gather(
+                                win, cls[p] + kj
+                            )
+                        Ats.append(A.T)
                 CB = jnp.take_along_axis(Ats[0], idxB, axis=1)
                 if NP == 2:
                     C1 = jnp.take_along_axis(Ats[1], idxB, axis=1)
