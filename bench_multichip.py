@@ -85,30 +85,31 @@ def main():
                     v, 7, mesh, spec
                 )
             ),
+            # weights/matrix stay CONCRETE numpy: the sharded drivers
+            # enumerate taps / plan shardings at trace time
             "dense_correlate_k5": jax.jit(
-                lambda v: parallel.sharded_correlate(
-                    v,
-                    jnp.asarray(
-                        np.random.RandomState(3)
-                        .randn(5, 5)
-                        .astype(np.float32)
-                    ),
-                    mesh,
-                    spec,
+                lambda v, _w=np.random.RandomState(3)
+                .randn(5, 5)
+                .astype(np.float32): parallel.sharded_correlate(
+                    v, _w, mesh, spec
                 )
             ),
             "affine_order1": jax.jit(
                 lambda v: parallel.sharded_affine_transform(
                     v,
-                    jnp.asarray(np.array([1.013, 0.987])),
+                    np.array([1.013, 0.987]),
                     offset=(3.1, -2.2),
                     mesh=mesh,
                     spec=spec,
                     order=1,
                 )
             ),
+            # blob-like mask: dense speckle (randn > t) is the CCL
+            # worst case (23 s/step at 8 virtual devices); labeling
+            # smoothed blobs is the representative workload
             "label": lambda v: parallel.sharded_label(
-                (v > 0.4).astype(jnp.float32), mesh, spec
+                parallel.sharded_uniform_filter(v, 9, mesh, spec) > 0.1,
+                mesh, spec,
             )[0],
         }
         for name, fn in cases.items():

@@ -398,22 +398,28 @@ def _make_kernel(mshape, lo0, lo1, order, TI, NP, NW, interpret,
     jax.jit,
     static_argnames=(
         "lo0", "lo1", "mshape", "order", "TI", "NP", "NW", "out_shape",
-        "interpret", "NBC",
+        "interpret", "NBC", "guarded",
     ),
 )
 def _gtg_call(xext, lo0, lo1, mshape, order, TI, NP, NW, out_shape,
-              interpret=False, NBC=0):
+              interpret=False, NBC=0, guarded=False):
     H, W = out_shape
     G0 = -(-H // TI)
     G1 = -(-W // _LANES)
-    # guard pad so clipped slab origins always read in-bounds; batched
-    # inputs also pad to whole plane chunks
+    # guard pad so clipped slab origins always read in-bounds; callers
+    # fold it into their boundary.pad (guarded=True) so the whole
+    # extension is ONE HBM copy instead of two; batched inputs still
+    # pad the plane axis to whole chunks
     if NBC:
         GB = -(-xext.shape[0] // NBC)
+        guard2 = (0, 0) if guarded else (0, _SLAB0)
+        guard3 = (0, 0) if guarded else (0, _SLAB1)
         xg = jnp.pad(
             xext,
-            ((0, GB * NBC - xext.shape[0]), (0, _SLAB0), (0, _SLAB1)),
+            ((0, GB * NBC - xext.shape[0]), guard2, guard3),
         )
+    elif guarded:
+        xg = xext
     else:
         xg = jnp.pad(xext, ((0, _SLAB0), (0, _SLAB1)))
     Hp, Wp = xg.shape[-2:]
@@ -582,12 +588,20 @@ def affine_gtg_2d(x, matrix, offset, order, mode, cval, out_shape,
         pad_mode = get_spline_mode(mode)
     else:
         pad_mode = mode
-    xext = boundary.pad(x, pads, pad_mode, cval)
+    gpads = [
+        (pads[0][0], pads[0][1] + _SLAB0),
+        (pads[1][0], pads[1][1] + _SLAB1),
+    ]
+    # guard rows/cols are appended INSIDE the same boundary.pad call
+    # (one HBM copy); their values are never read for valid outputs —
+    # they only keep clipped slab DMA origins in bounds
+    xext = boundary.pad(x, gpads, pad_mode, cval)
 
     mshape = (a00, a01, a10, a11, o0, o1)
     out = _gtg_call(
         xext, pads[0][0], pads[1][0], mshape, int(order), int(TI),
         int(NP), int(NW), oshape, interpret=bool(interpret),
+        guarded=True,
     )
     return out.T if swapped else out
 
@@ -658,13 +672,17 @@ def affine_gtg_batched2d(x, matrix, offset, order, mode, cval,
         pad_mode = get_spline_mode(mode)
     else:
         pad_mode = mode
-    xext = boundary.pad(x, [(0, 0)] + list(pads), pad_mode, cval)
+    gpads = [
+        (pads[0][0], pads[0][1] + _SLAB0),
+        (pads[1][0], pads[1][1] + _SLAB1),
+    ]
+    xext = boundary.pad(x, [(0, 0)] + gpads, pad_mode, cval)
 
     mshape = (a00, a01, a10, a11, o0, o1)
     nbc = min(_NBC_PLANES, int(x.shape[0]))
     out = _gtg_call(
         xext, pads[0][0], pads[1][0], mshape, int(order), int(TI),
         int(NP), int(NW), oshape, interpret=bool(interpret),
-        NBC=nbc,
+        NBC=nbc, guarded=True,
     )
     return jnp.swapaxes(out, 1, 2) if swapped else out
