@@ -186,6 +186,9 @@ def _vpu_peak_gflops():
     return _VPU_PEAK
 
 
+_COMPLEX_OK = None
+
+
 def _complex_supported():
     """Probe complex-dtype device support in a SUBPROCESS.
 

@@ -217,6 +217,17 @@ def _gather_separable_jit(x, coords_1d, cval, order, mode):
     return interp.gather_separable(x, list(coords_1d), order, mode, cval)
 
 
+def _trace_state_clean():
+    """True outside any jax trace (private API; safe fallback: the
+    Tracer checks downstream still route correctly, just less cheaply)."""
+    try:
+        from jax._src.core import trace_state_clean
+
+        return trace_state_clean()
+    except Exception:
+        return True
+
+
 @functools.partial(jax.jit, static_argnames=("ndim",))
 def _separable_probe_jit(coordinates, ndim):
     """(all-axes-separable?, per-axis 1-D reference vectors)."""
@@ -251,7 +262,28 @@ def _separable_coords(coordinates, ndim):
     if coordinates.size < (1 << 18):
         return None
     if isinstance(coordinates, jax.core.Tracer):
-        return None
+        # under jit the host can't inspect the volume: route to the
+        # lax.cond dual path (_gather_cond_separable)
+        return "traced"
+    if not _trace_state_clean():
+        # concrete coordinates closed over inside an outer trace: the
+        # device probe below would return tracers, but numpy on the
+        # concrete array is free at trace time (runs once per compile)
+        # and routes statically — no dual-branch compile
+        cnp = np.asarray(coordinates)
+        refs = []
+        for j in range(ndim):
+            c = cnp[j]
+            sl = tuple(0 if k != j else slice(None) for k in range(ndim))
+            ref = c[sl]
+            shape = [1] * ndim
+            shape[j] = -1
+            if not np.array_equal(
+                c, np.broadcast_to(ref.reshape(shape), c.shape)
+            ):
+                return None
+            refs.append(jnp.asarray(ref))
+        return refs
     # device-side probe, ONE dispatch + a 1-byte scalar sync: the old
     # np.asarray probe shipped the whole coordinate volume down the
     # device tunnel (~25 MB for a 128^3 grid) and an eager per-axis
@@ -259,13 +291,40 @@ def _separable_coords(coordinates, ndim):
     # refs stay on device
     ok, refs = _separable_probe_jit(coordinates, ndim)
     if isinstance(ok, jax.core.Tracer):
-        # under an outer jit even concrete closed-over coordinates trace:
-        # the probe result is then undecidable without a host sync, so
-        # keep the general path (traced calls stay compilable)
-        return None
+        # concrete coordinates closed over inside an outer trace still
+        # yield traced probe results: same dual-path routing
+        return "traced"
     if not bool(ok):
         return None
     return refs
+
+
+def _gather_cond_separable(filtered, coords, order, mode, cval):
+    """Traced-coordinates dual path: probe separability ON DEVICE and
+    lax.cond into the per-axis separable engine or the dense gather.
+
+    Under an outer jit the host can't inspect the coordinate volume, so
+    instead of pessimising to the dense n-D gather (XLA dense gather on
+    TPU is ~0.7 GB/s — a 750x slowdown for a separable 128^3 order-1
+    grid) both branches are compiled and the ~1-elementwise-pass probe
+    picks at run time."""
+    ndim = filtered.ndim
+    checks = []
+    refs = []
+    for j in range(ndim):
+        c = coords[j]
+        sl = tuple(0 if k != j else slice(None) for k in range(ndim))
+        ref = c[sl]
+        shape = [1] * ndim
+        shape[j] = -1
+        checks.append(jnp.all(c == ref.reshape(shape)))
+        refs.append(ref)
+    ok = jnp.stack(checks).all()
+    return jax.lax.cond(
+        ok,
+        lambda: interp.gather_separable(filtered, refs, order, mode, cval),
+        lambda: interp.gather_general(filtered, coords, order, mode, cval),
+    )
 
 
 def map_coordinates(
@@ -309,6 +368,10 @@ def map_coordinates(
                                   allow_float32)
     coords = [coordinates[j] + npad for j in range(x.ndim)]
     sep = _separable_coords(coordinates, x.ndim)
+    if isinstance(sep, str):
+        # traced coordinates: both engines compile, device probe decides
+        out = _gather_cond_separable(filtered, coords, order, mode, cval)
+        return _finalize(out, out_dtype)
     if sep is not None:
         # coords[j] varies only along output axis j (mgrid-built zoom /
         # shift / per-axis resample grids): run the per-axis separable

@@ -293,6 +293,53 @@ class TestSeparableCoordsProbe:
         sep = tinterp._separable_coords(jnp.asarray(gsep), 3)
         assert sep is not None and len(sep) == 3
 
+    def test_traced_coords_cond_path(self):
+        """Under an outer jit the probe can't sync: map_coordinates must
+        route through the lax.cond dual path and stay scipy-exact for
+        BOTH runtime outcomes (separable and dense)."""
+        import jax
+        import jax.numpy as jnp
+
+        rng = np.random.RandomState(1)
+        x = rng.rand(60, 62, 64).astype(np.float32)
+        gsep = np.mgrid[0:60, 0:62, 0:64].astype(np.float32) * 1.1 - 0.4
+        gden = gsep + rng.rand(*gsep.shape).astype(np.float32) * 0.2
+
+        assert tinterp._separable_coords(jnp.asarray(gsep), 3) is not None
+
+        f = jax.jit(
+            lambda a, c: tinterp.map_coordinates(
+                a, c, order=1, mode="nearest"
+            )
+        )
+        for g in (gsep, gden):
+            got = np.asarray(f(jnp.asarray(x), jnp.asarray(g)))
+            exp = ndi.map_coordinates(
+                x.astype(np.float64), g.astype(np.float64), order=1,
+                mode="nearest",
+            )
+            assert np.abs(got - exp).max() < 5e-5
+
+    def test_concrete_coords_under_outer_trace(self):
+        """Concrete coordinates closed over inside a jitted caller still
+        yield traced probe results; the sentinel must route them through
+        the cond path instead of raising TracerBoolConversionError."""
+        import jax
+        import jax.numpy as jnp
+
+        rng = np.random.RandomState(2)
+        x = rng.rand(48, 50, 52).astype(np.float32)
+        g = jnp.asarray(
+            np.mgrid[0:48, 0:50, 0:52].astype(np.float32) * 1.17
+        )
+
+        f = jax.jit(lambda a: tinterp.map_coordinates(a, g, order=1))
+        got = np.asarray(f(jnp.asarray(x)))
+        exp = ndi.map_coordinates(
+            x.astype(np.float64), np.asarray(g, np.float64), order=1
+        )
+        assert np.abs(got - exp).max() < 5e-5
+
 
 def test_integer_output_saturates_on_overshoot():
     """Spline overshoot on integer images clamps at the dtype bounds
