@@ -19,10 +19,13 @@ formulas, also used by the reference's _spline_kernel_weights.py).
 
 from __future__ import annotations
 
+import functools
 import itertools
 
 import numpy as np
+import jax
 import jax.numpy as jnp
+from jax import lax
 
 from cupyimg_tpu.core import boundary
 from cupyimg_tpu.ops.iir import get_spline_mode
@@ -208,6 +211,117 @@ def _apply_cval(vals, oob, cval):
     if oob is None:
         return vals
     return jnp.where(oob, jnp.asarray(cval, dtype=vals.dtype), vals)
+
+
+def shift_fir(filtered, shifts, npad: int, order: int, mode: str, cval,
+              out_shape):
+    """Constant-fraction shift as a static-slice separable FIR.
+
+    ``scipy.ndimage.shift`` evaluates the spline at ``c_i = i - s`` per
+    axis: the fractional part (hence the tap weights) is the *same* for
+    every output index, so the whole op is one boundary extension plus an
+    (order+1)-tap correlation with scalar weights per axis — static slices
+    XLA fuses into a single HBM pass, instead of (order+1)*ndim dynamic
+    gathers.  Exactness: for every mode whose float premap folds the
+    coordinate with the same symmetry group as the integer tap map
+    (mirror/reflect/grid-mirror/grid-wrap/nearest/constant/grid-constant),
+    interpolating the extended sequence at the raw coordinate equals
+    scipy's premap-then-tap, because the spline interpolant of the
+    extension is invariant under the fold and B-splines are even.  Legacy
+    'wrap' premaps with period n-1 but patches tap overruns with a mirror
+    family (reference _interp_kernels.py:355-560 decision table) — no
+    single extension reproduces that, so it returns None (caller falls
+    back to the gather engine).
+
+    Parameters mirror the gather path: ``filtered`` is the (possibly
+    prepadded by ``npad``) coefficient array, ``shifts`` concrete per-axis
+    floats, ``out_shape`` the original input shape.  Returns the shifted
+    array or None when the fast path does not apply.
+    """
+    if mode in ("wrap",):
+        return None
+    ndim = filtered.ndim
+    import math as _math
+
+    if order == 0 and mode in ("reflect", "mirror", "grid-mirror"):
+        # order-0 rounds half UP; a reflection premap flips orientation, so
+        # at exact half-integer coordinates the folded tie rounds the other
+        # way — the one case where extension-then-raw-tap differs.
+        for ax in range(ndim):
+            if _math.remainder(float(npad) - float(shifts[ax]), 1.0) in (
+                0.5, -0.5,
+            ):
+                return None
+
+    # per-axis plan: (pad_lo, pad_hi, base_offset, weights)
+    plans = []
+    for ax in range(ndim):
+        n_out = out_shape[ax]
+        m = filtered.shape[ax]
+        c0 = float(npad) - float(shifts[ax])  # c_i = i + c0 in filtered coords
+        if order == 0:
+            base = int(_math.floor(c0 + 0.5))
+            weights = [1.0]
+        elif order % 2:
+            t = c0 - _math.floor(c0)
+            base = int(_math.floor(c0)) - order // 2
+            weights = [float(w) for w in spline_weights(np.float64(t), order)]
+        else:
+            half = _math.floor(c0 + 0.5)
+            t = c0 - half
+            base = int(half) - order // 2
+            weights = [float(w) for w in spline_weights(np.float64(t), order)]
+        ntap = len(weights)
+        j_min = base
+        j_max = n_out - 1 + base + ntap - 1
+        pad_lo = max(0, -j_min)
+        pad_hi = max(0, j_max - (m - 1))
+        if pad_lo > m + ntap or pad_hi > m + ntap:
+            return None  # giant shift: not worth the memory blow-up
+        plans.append((pad_lo, pad_hi, base + pad_lo, weights))
+
+    if mode == "grid-constant":
+        pad_mode = "grid-constant"
+    elif mode == "nearest":
+        pad_mode = "nearest"
+    elif mode == "constant":
+        pad_mode = get_spline_mode("constant") if order >= 2 else "nearest"
+    else:
+        pad_mode = get_spline_mode(mode) if order >= 2 else mode
+
+    y = boundary.pad(
+        filtered, [(p[0], p[1]) for p in plans], pad_mode, cval,
+    )
+    wdtype = y.real.dtype
+    for ax in range(ndim):
+        _, _, off, weights = plans[ax]
+        n_out = out_shape[ax]
+        acc = None
+        for k, w in enumerate(weights):
+            part = lax.slice_in_dim(y, off + k, off + k + n_out, axis=ax)
+            if order > 0:
+                part = part * jnp.asarray(w, wdtype)
+            acc = part if acc is None else acc + part
+        y = acc
+
+    if mode == "constant":
+        # outer mask (c outside the original domain) has static extent
+        cv = jnp.asarray(cval, y.dtype)
+        for ax in range(ndim):
+            n_out = out_shape[ax]
+            s = float(shifts[ax])
+            lo = min(n_out, max(0, int(_math.ceil(s))))
+            hi_first = int(_math.floor(n_out - 1 + s)) + 1
+            hi = min(n_out, max(0, n_out - hi_first))
+            if lo:
+                sl = [slice(None)] * ndim
+                sl[ax] = slice(0, lo)
+                y = y.at[tuple(sl)].set(cv)
+            if hi:
+                sl = [slice(None)] * ndim
+                sl[ax] = slice(n_out - hi, n_out)
+                y = y.at[tuple(sl)].set(cv)
+    return y
 
 
 def gather_general(x, coords, order: int, mode: str, cval):

@@ -798,15 +798,18 @@ def shift(
     out_dtype = _resolve_out_dtype(output, x)
     filtered, npad = _prefiltered(x, order, mode, cval, prefilter,
                                   allow_float32)
-    coord_dtype = _coord_dtype(allow_float32)
-    coords_1d = [
-        jnp.arange(x.shape[j], dtype=coord_dtype) - shifts[j] + npad
-        for j in range(x.ndim)
-    ]
-    out = interp.gather_separable(filtered, coords_1d, order, mode, cval)
-    if npad:
-        out = _mask_outer_constant_separable(out, coords_1d, x.shape, npad,
-                                             mode, cval)
+    out = interp.shift_fir(filtered, shifts, npad, order, mode, cval,
+                           x.shape)
+    if out is None:
+        coord_dtype = _coord_dtype(allow_float32)
+        coords_1d = [
+            jnp.arange(x.shape[j], dtype=coord_dtype) - shifts[j] + npad
+            for j in range(x.ndim)
+        ]
+        out = interp.gather_separable(filtered, coords_1d, order, mode, cval)
+        if npad:
+            out = _mask_outer_constant_separable(out, coords_1d, x.shape,
+                                                 npad, mode, cval)
     return _finalize(out, out_dtype)
 
 
