@@ -19,11 +19,10 @@ formulas, also used by the reference's _spline_kernel_weights.py).
 
 from __future__ import annotations
 
-import functools
 import itertools
+import math as _math
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -113,10 +112,17 @@ def premap_coord(c, n: int, mode: str):
     if mode in ("grid-wrap",):
         return c - n * jnp.floor(c / n)
     if mode == "mirror":
+        # scipy ni_interpolation.c map_coordinate NI_EXTEND_MIRROR: fold the
+        # negative side up by whole periods, then either translate by one
+        # period or negate.  Using abs(c) instead lands far-out negative
+        # half-integers on the other side of the tie, flipping order-0
+        # round-half-up direction (e.g. c=-4.5, n=5: scipy 3.5, abs 4.5).
         sz2 = 2.0 * n - 2.0
-        a = jnp.abs(c)
-        a = a - sz2 * jnp.floor(a / sz2)
-        return jnp.where(a >= n, sz2 - a, a)
+        cn = jnp.where(c < -sz2, sz2 * jnp.trunc(-c / sz2) + c, c)
+        cn = jnp.where(cn <= 1.0 - n, cn + sz2, -cn)
+        cp = c - sz2 * jnp.trunc(c / sz2)
+        cp = jnp.where(cp >= n, sz2 - cp, cp)
+        return jnp.where(c < 0, cn, jnp.where(c > n - 1, cp, c))
     if mode in ("reflect", "grid-mirror"):
         sz2 = 2.0 * n
         # negative side: fold up near the domain then reflect about -0.5
@@ -241,8 +247,6 @@ def shift_fir(filtered, shifts, npad: int, order: int, mode: str, cval,
     if mode in ("wrap",):
         return None
     ndim = filtered.ndim
-    import math as _math
-
     if order == 0 and mode in ("reflect", "mirror", "grid-mirror"):
         # order-0 rounds half UP; a reflection premap flips orientation, so
         # at exact half-integer coordinates the folded tie rounds the other

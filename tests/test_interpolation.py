@@ -168,6 +168,18 @@ class TestShiftZoomRotate:
         exp = ndi.shift(x, (1.7, -2.3), order=order, mode=mode, cval=2.0)
         np.testing.assert_allclose(np.asarray(got), exp, rtol=1e-5, atol=1e-5)
 
+    @pytest.mark.parametrize("mode", ["mirror", "reflect", "grid-mirror",
+                                      "grid-wrap", "nearest"])
+    @pytest.mark.parametrize("sh", [7.5, -7.5, 4.5, -12.5])
+    def test_shift_order0_halfinteger_far(self, sh, mode):
+        # Order-0 rounds half up; far-out-of-domain half-integer
+        # coordinates must fold in scipy's tie direction (the premap fold
+        # is not abs()).  |shift| > n exercises multi-period folds.
+        x = np.arange(5, dtype=np.float64)
+        got = tinterp.shift(x, sh, order=0, mode=mode, allow_float32=False)
+        exp = ndi.shift(x, sh, order=0, mode=mode)
+        np.testing.assert_allclose(np.asarray(got), exp)
+
     @pytest.mark.parametrize("order", [0, 1, 3, 5])
     @pytest.mark.parametrize("zoom_factor", [0.5, 1.0, 1.7, (2.0, 0.8)])
     def test_zoom(self, order, zoom_factor):
