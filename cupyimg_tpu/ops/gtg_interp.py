@@ -307,7 +307,14 @@ def _make_kernel(mshape, lo0, lo1, order, TI, NP, NW, interpret,
         # [-EXT, SLAB0) and slice per ki, instead of re-running
         # inv_first/route_c/spline-weights ntaps times (order 3 pays 4x
         # otherwise).
-        EXT = ntaps - 1
+        # When A10 == 0 (upper-triangular/shear matrices) the column
+        # routing does not depend on di, the per-pass grids constant-fold
+        # to sublane-replicated vectors, and Mosaic crashes sublane-
+        # slicing a replicated layout (vector_extract_strided_slice
+        # limits check).  Recompute per tap on exact-size grids instead;
+        # the recompute folds to the same shared computation anyway.
+        share_ext = A10 != 0
+        EXT = ntaps - 1 if share_ext else 0
         s0E = jax.lax.broadcasted_iota(
             jnp.int32, (_SLAB0 + EXT, _LANES), 0
         ) - EXT
@@ -315,23 +322,35 @@ def _make_kernel(mshape, lo0, lo1, order, TI, NP, NW, interpret,
             jnp.int32, (_SLAB0 + EXT, _LANES), 1
         )
         jE_f = djE.astype(f32) + j0f
-        # target route floor for (extended) slab row s0 at tap 0:
-        # route_r(di) == s0 + rmin8 - lo0 - base_off
-        s0_base_ext = (s0E + (rmin8 - lo0 - base_off)).astype(f32)
 
-        di_first_ext = inv_first(s0_base_ext, djE)
-        cls_ext = []
-        wcs_ext = []
-        for p in range(NP):
-            di_p = di_first_ext + f32(p)  # tile-local row, f32 ints
-            di_pi = di_p.astype(jnp.int32)
-            i_p = di_p + i0f
-            cq = route_c(di_pi, djE)
-            fcA = (a10f * i_p + (a11f * jE_f + o1f)) - cq
-            cls_ext.append(
-                cq.astype(jnp.int32) + (lo1 + base_off) - cmin_true
-            )
-            wcs_ext.append(_tap_weights(fcA, order))
+        def _col_routing(ki):
+            """Column floors + weights for row-tap ki over slab rows
+            [0, SLAB0) (+EXT lead rows when shared): the target route
+            floor for slab row s0 is s0 + rmin8 - lo0 - base_off - ki,
+            linear in s0 with slope 1."""
+            tgt = (s0E + (rmin8 - lo0 - base_off - ki)).astype(f32)
+            di_first = inv_first(tgt, djE)
+            cls_p = []
+            wcs_p = []
+            for p in range(NP):
+                di_p = di_first + f32(p)  # tile-local row, f32 ints
+                di_pi = di_p.astype(jnp.int32)
+                i_p = di_p + i0f
+                cq = route_c(di_pi, djE)
+                fcA = (a10f * i_p + (a11f * jE_f + o1f)) - cq
+                cls_p.append(
+                    cq.astype(jnp.int32) + (lo1 + base_off) - cmin_true
+                )
+                wcs_p.append(_tap_weights(fcA, order))
+            return cls_p, wcs_p
+
+        if share_ext:
+            # Routing identity: the ki-tap routing row di_first(s0, ki)
+            # equals di_first(s0 - ki, 0) — compute ONCE over the
+            # extended row range [-EXT, SLAB0) and slice per ki, instead
+            # of re-running inv_first/route_c/spline-weights ntaps times
+            # (order 3 pays 4x otherwise).
+            cls_ext, wcs_ext = _col_routing(0)
 
         wrB = _tap_weights(frB, order)
         if NP == 2:
@@ -339,13 +358,17 @@ def _make_kernel(mshape, lo0, lo1, order, TI, NP, NW, interpret,
             selB = dB.astype(f32) - di_first_B < f32(0.5)
         accs = [jnp.zeros((_LANES, _LANES), f32) for _ in wins]
         for ki in range(ntaps):
-            # slice the shared routing at sublane offset EXT - ki:
-            # rows cover s0 - ki for s0 in [0, SLAB0)
-            lo_r = EXT - ki
-            cls = [c[lo_r:lo_r + _SLAB0] for c in cls_ext]
-            wcs = [
-                [w[lo_r:lo_r + _SLAB0] for w in ws] for ws in wcs_ext
-            ]
+            if share_ext:
+                # slice the shared routing at sublane offset EXT - ki:
+                # rows cover s0 - ki for s0 in [0, SLAB0)
+                lo_r = EXT - ki
+                cls = [c[lo_r:lo_r + _SLAB0] for c in cls_ext]
+                wcs = [
+                    [w[lo_r:lo_r + _SLAB0] for w in ws]
+                    for ws in wcs_ext
+                ]
+            else:
+                cls, wcs = _col_routing(ki)
             idxB = jnp.clip(rlB + ki, 0, _SLAB0 - 1)
             # For NP == 2 with |a10| < 1 the two passes' column-tap
             # floors differ by at most one lane, so their tap sets

@@ -103,6 +103,22 @@ def test_anisotropic_affine(image):
     _compare(image, m, np.array([3.0, -8.0]), 1, "constant", 1e-4)
 
 
+@pytest.mark.parametrize("order", [0, 1, 3])
+@pytest.mark.parametrize(
+    "m",
+    [
+        np.array([[1.0, 0.29731], [0.0, 1.0]]),      # pure shear, a10 == 0
+        np.array([[0.90713, 0.29731], [0.0, 0.91441]]),  # a10 == 0, NP == 2
+        np.array([[0.90713, 0.0], [0.29731, 0.91441]]),  # a01 == 0
+    ],
+)
+def test_triangular_matrices(image, m, order):
+    # a10 == 0 constant-folds the column routing to sublane-replicated
+    # vectors; the kernel must use exact-size per-tap grids there (the
+    # shared-ext sublane slice crashes Mosaic on replicated layouts)
+    _compare(image, m, np.array([2.0, -3.0]), order, "nearest", 2e-4)
+
+
 def test_np1_fast_path_downscale(image):
     # |a00| >= 1: single inversion pass (NP=1)
     m = np.array([[1.31, 0.2], [-0.2, 1.31]])

@@ -56,6 +56,18 @@ class TestAffine2D:
                                      order=1, mode=mode)
         assert_close(got, want, rtol=1e-3, atol=5e-3)
 
+    @pytest.mark.parametrize("order", [1, 3])
+    def test_shear_matrix(self, order):
+        # a10 == 0: the GTG column routing constant-folds; compiled
+        # Mosaic crashed on the shared-ext sublane slice of replicated
+        # vectors before the per-tap exact-grid path existed
+        x, xg = _smooth(SHAPE_2D)
+        m = np.array([[1.0, 0.29731], [0.0, 1.0]])
+        got = ndi.affine_transform(xg, m, OFF_2D, order=order)
+        want = sndi.affine_transform(x.astype(np.float64), m, OFF_2D,
+                                     order=order)
+        assert_close(got, want, rtol=1e-3, atol=5e-3)
+
     def test_diagonal_matrix(self):
         x, xg = _smooth(SHAPE_2D)
         m = np.array([1.03317, 0.91229])
