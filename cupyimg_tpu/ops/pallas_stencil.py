@@ -772,9 +772,11 @@ def _make_kernel_3d(sp0, sp1, sp2, S2, B0, B1, sl0, sl1,
             _axis_apply_arr(sp1, acc, 1, B1)
             if sp1 is not None else acc
         )
+        # no lane-axis filter: the slab is still lane-padded to a full
+        # 128-lane extent — slice back to the output block width
         out = (
             _axis_apply_arr(sp2, acc1, 2, S2)
-            if sp2 is not None else acc1
+            if sp2 is not None else acc1[:, :, :S2]
         )
         out_ref[:] = out.astype(out_ref.dtype)
 
@@ -812,9 +814,11 @@ def _make_kernel_2d(sp0, sp1, S1, B0, sl0, lane_roll=0,
             _axis_apply_arr(sp0, x, 0, B0)
             if sp0 is not None else x
         )
+        # no lane-axis filter: the slab is still lane-padded to a full
+        # 128-lane extent — slice back to the output block width
         out = (
             _axis_apply_arr(sp1, acc, 1, S1)
-            if sp1 is not None else acc
+            if sp1 is not None else acc[:, :S1]
         )
         out_ref[:] = out.astype(out_ref.dtype)
 

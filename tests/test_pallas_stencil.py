@@ -96,6 +96,36 @@ class TestFusedSeparable:
         )
         np.testing.assert_allclose(got, exp, atol=2e-6)
 
+    @pytest.mark.parametrize("shape", [(40, 150), (150, 40)])
+    def test_2d_no_lane_filter_unaligned_width(self, shape):
+        # axis-0-only filter on a width that is not a multiple of 128:
+        # the slab stays lane-padded to the 128 extent and the kernel
+        # must slice back to the block width (the spline_filter1d FIR
+        # route hit this as a Pallas shape error on TPU)
+        wa = (0.25, 0.5, 0.25)
+        x = np.random.RandomState(5).rand(*shape).astype(np.float32)
+        got = _run(x, (wa, None), (0, 0), ("reflect",) * 2)
+        exp = sndi.correlate1d(
+            x.astype(np.float64), np.asarray(wa), axis=0,
+            mode="reflect",
+        )
+        np.testing.assert_allclose(got, exp, atol=2e-6)
+
+    def test_3d_no_lane_filter_unaligned_width(self):
+        wa = (0.25, 0.5, 0.25)
+        x = np.random.RandomState(6).rand(12, 18, 150).astype(
+            np.float32
+        )
+        got = _run(x, (wa, wa, None), (0, 0, 0), ("nearest",) * 3)
+        exp = sndi.correlate1d(
+            sndi.correlate1d(
+                x.astype(np.float64), np.asarray(wa), axis=0,
+                mode="nearest",
+            ),
+            np.asarray(wa), axis=1, mode="nearest",
+        )
+        np.testing.assert_allclose(got, exp, atol=2e-6)
+
     @pytest.mark.parametrize("mode", ["reflect", "nearest", "wrap",
                                       "constant"])
     def test_2d_wide_taps_lane_matmul(self, mode):

@@ -46,7 +46,15 @@ class TestAffine2D:
         got = ndi.affine_transform(xg, MAT_2D, OFF_2D, order=order)
         want = sndi.affine_transform(x.astype(np.float64), MAT_2D, OFF_2D,
                                      order=order)
-        assert_close(got, want, rtol=1e-3, atol=5e-3)
+        if order == 0:
+            # f32 routing quantization flips round-half-up ties the f64
+            # oracle resolves the other way; bound the flip fraction
+            # (which tile layout a point lands in shifts WHICH points
+            # tie, so the exact set varies with the kernel plan)
+            frac = np.mean(np.abs(np.asarray(got) - want) > 1e-6)
+            assert frac < 1e-4, f"tap-flip fraction {frac:.2e}"
+        else:
+            assert_close(got, want, rtol=1e-3, atol=5e-3)
 
     @pytest.mark.parametrize("mode", ["nearest", "mirror", "grid-wrap"])
     def test_modes(self, mode):
