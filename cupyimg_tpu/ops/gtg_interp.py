@@ -81,10 +81,19 @@ _LANES = 128
 # indices, weights) is shared across the chunk, so larger chunks amortize
 # it; VMEM slab scratch grows linearly (2 * NBC * _SLAB0 * _SLAB1 * 4B)
 _NBC_PLANES = int(_os.environ.get("CUPYIMG_TPU_GTG_NBC", "16"))
-_SLAB0 = 128          # slab rows (sublane span budget incl. 8-align slack)
+_SLAB0 = 128          # legacy slab-row count (guard sizing for callers
+                      # that predate per-plan S0)
 _SLAB1 = 384          # slab cols as DMA'd: up to 127 lanes of origin
                       # 128-alignment slack + two 128-lane gather
                       # windows after the roll
+_S0_MAX = 240         # slab-row budget: two B-stage row-gather windows
+                      # (128 + 112), 8-aligned
+_S0_SLACK = 10        # DMA-origin 8-align slack + routing jitter
+# Relative per-row stage costs used by the (TI, S0) planner: the
+# A-stage sweeps (S0 + EXT) routing rows, the B-stage gathers over
+# NR*128-lane point grids, DMA+roll moves S0 slab rows.  Calibrated on
+# v5e by stage-isolation microbenches (rotation matrices, order 1/3).
+_WA, _WB, _WD = 1.0, 0.7, 0.45
 _Q = 22               # routing fixed-point fraction bits
 _QF = np.float32(2.0 ** -_Q)
 
@@ -94,12 +103,15 @@ def _round_up(v, m):
 
 
 def gtg_plan(matrix, order, out_shape):
-    """Static plan: (swapped, mshape, TI, NP, NW, out_shape') or None.
+    """Static plan: (swapped, mshape, TI, NP, NW, out_shape', S0, NR)
+    or None.
 
     ``swapped`` means the kernel computes the transposed output (roles
     of the two output axes exchanged) and the caller transposes back.
-    ``NW`` is the number of 128-lane gather windows the column span
-    needs (1 or 2).
+    ``NW`` is the number of 128-lane column gather windows the column
+    span needs (1 or 2); ``S0`` the slab-row count the row span needs
+    (8-aligned, <= 240) and ``NR`` the matching number of B-stage
+    row-gather windows (1 when S0 <= 128, else 2).
     """
     m = np.asarray(matrix, dtype=np.float64)
     if m.shape != (2, 2) or not np.all(np.isfinite(m)):
@@ -114,25 +126,35 @@ def gtg_plan(matrix, order, out_shape):
         return None  # inversion multiplicity > 2: one-hot path handles
     np_passes = 1 if abs(a00) >= 1.0 else 2
     ntaps = order + 1 if order > 0 else 1
-    # Larger output tiles amortize the tile-fixed A/B-stage work (the
-    # A-stage always sweeps the full slab-row grid and the B-stage a
-    # full 128x128 point grid), so prefer the largest TI whose source
-    # span still fits the slab budget.
-    # 8-step TI granularity: rotation-like matrices burn budget on the
-    # |a01|*(LANES-1) term, and the coarse old ladder (112, 96, 80, 64,
-    # 48, ...) could leave up to 25% of the B-stage's fixed 128-lane
-    # point grid idle (e.g. a 31-degree rotation fit TI=56 but got 48)
-    for ti in range(112, 7, -8):
+    ext = ntaps - 1
+    # The output tile is TI rows x 128 lanes; its source-row span is
+    # span0 ~ |a00|*TI + |a01|*128, so for rotation-like matrices a
+    # fixed 128-row slab forces tiny TI (a 40-degree rotation fits only
+    # TI=40 -> the A- and B-stages then do 3.2x redundant work per
+    # output point).  Instead search (TI, S0) pairs — taller slabs pay
+    # linearly in A-stage/DMA rows but amortize over more output rows —
+    # and keep the pair minimizing modeled cost per output row.
+    best = None
+    for ti in range(128, 7, -8):
         span0 = abs(a00) * (ti - 1) + abs(a01) * (_LANES - 1) + ntaps - 1
         span1 = abs(a10) * (ti - 1) + abs(a11) * (_LANES - 1) + ntaps - 1
-        # row budget: 128 slab rows minus 8-align slack and safety;
+        s0 = _round_up(int(math.ceil(span0)) + _S0_SLACK, 8)
         # column budget: two 128-lane gather windows minus safety (the
         # slab's extra 128 lanes only absorb the DMA origin alignment)
-        if span0 > _SLAB0 - 12 or span1 > 2 * _LANES - 8:
+        if s0 > _S0_MAX or span1 > 2 * _LANES - 8:
             continue
+        nr = 1 if s0 <= _LANES else 2
         nw = 1 if span1 <= _LANES - 4 else 2
-        return swapped, (a00, a01, a10, a11), ti, np_passes, nw, out_shape
-    return None
+        cost = (_WA * (s0 + ext) + _WB * nr * _LANES + _WD * s0) / ti
+        if best is None or cost < best[0]:
+            best = (cost, ti, s0, nr, nw)
+    if best is None:
+        return None
+    _, ti, s0, nr, nw = best
+    return (
+        swapped, (a00, a01, a10, a11), ti, np_passes, nw, out_shape,
+        s0, nr,
+    )
 
 
 def _tap_weights(frac, order):
@@ -148,13 +170,16 @@ def _quant(a):
 
 
 def _make_kernel(mshape, lo0, lo1, order, TI, NP, NW, interpret,
-                 NBC=0):
+                 NBC=0, S0=_SLAB0, NR=1):
     """Kernel body; every parameter is a Python scalar baked in.
 
     ``NBC`` > 0 selects the batched-plane layout: each grid step
     resamples NBC leading planes with the SAME 2-D affine, sharing the
     per-tile routing (inversion, weights, tap indices) across planes
-    (a 3-D volume rotate about one axis is the common caller)."""
+    (a 3-D volume rotate about one axis is the common caller).
+    ``S0``/``NR``: slab-row count and B-stage row-gather window count
+    from the plan; rows past 128 are reached through a second window
+    of the transposed A matrix."""
     a00, a01, a10, a11, o0, o1 = mshape
     f32 = np.float32
     a00f, a01f, a10f, a11f = f32(a00), f32(a01), f32(a10), f32(a11)
@@ -189,7 +214,7 @@ def _make_kernel(mshape, lo0, lo1, order, TI, NP, NW, interpret,
         def dma(sl, tt):
             gbt = jnp.asarray(gb, tt.dtype)
             ij = lax.div(tt, gbt) if batched else tt
-            rows = pl.ds(pl.multiple_of(rmin_ref[ij], 8), _SLAB0)
+            rows = pl.ds(pl.multiple_of(rmin_ref[ij], 8), S0)
             cols = pl.ds(
                 pl.multiple_of((cmin_ref[ij] // 128) * 128, 128),
                 _SLAB1,
@@ -316,10 +341,10 @@ def _make_kernel(mshape, lo0, lo1, order, TI, NP, NW, interpret,
         share_ext = A10 != 0
         EXT = ntaps - 1 if share_ext else 0
         s0E = jax.lax.broadcasted_iota(
-            jnp.int32, (_SLAB0 + EXT, _LANES), 0
+            jnp.int32, (S0 + EXT, _LANES), 0
         ) - EXT
         djE = jax.lax.broadcasted_iota(
-            jnp.int32, (_SLAB0 + EXT, _LANES), 1
+            jnp.int32, (S0 + EXT, _LANES), 1
         )
         jE_f = djE.astype(f32) + j0f
 
@@ -362,14 +387,14 @@ def _make_kernel(mshape, lo0, lo1, order, TI, NP, NW, interpret,
                 # slice the shared routing at sublane offset EXT - ki:
                 # rows cover s0 - ki for s0 in [0, SLAB0)
                 lo_r = EXT - ki
-                cls = [c[lo_r:lo_r + _SLAB0] for c in cls_ext]
+                cls = [c[lo_r:lo_r + S0] for c in cls_ext]
                 wcs = [
-                    [w[lo_r:lo_r + _SLAB0] for w in ws]
+                    [w[lo_r:lo_r + S0] for w in ws]
                     for ws in wcs_ext
                 ]
             else:
                 cls, wcs = _col_routing(ki)
-            idxB = jnp.clip(rlB + ki, 0, _SLAB0 - 1)
+            idxB = jnp.clip(rlB + ki, 0, S0 - 1)
             # For NP == 2 with |a10| < 1 the two passes' column-tap
             # floors differ by at most one lane, so their tap sets
             # overlap in ntaps-1 of ntaps positions: gather the
@@ -380,6 +405,44 @@ def _make_kernel(mshape, lo0, lo1, order, TI, NP, NW, interpret,
             if merge2:
                 base_cl = jnp.minimum(cls[0], cls[1])
                 offs = [cls[0] > base_cl, cls[1] > base_cl]
+            def row_windows(A):
+                """Transposed A split into NR 128-lane row windows
+                (the TPU dynamic gather needs idx.shape == src.shape,
+                so windows narrower than 128 rows zero-pad up)."""
+                if NR == 1:
+                    if S0 < _LANES:
+                        A = jnp.concatenate(
+                            [
+                                A,
+                                jnp.zeros((_LANES - S0, _LANES), f32),
+                            ],
+                            axis=0,
+                        )
+                    return (A.T, None)
+                tail = jnp.concatenate(
+                    [
+                        A[_LANES:],
+                        jnp.zeros((2 * _LANES - S0, _LANES), f32),
+                    ],
+                    axis=0,
+                )
+                return (A[:_LANES].T, tail.T)
+
+            def row_gather(At, idx):
+                """Value at slab row ``idx`` (0..S0-1) for each point."""
+                At0, At1 = At
+                g = jnp.take_along_axis(
+                    At0, jnp.clip(idx, 0, _LANES - 1), axis=1
+                )
+                if NR == 2:
+                    g2 = jnp.take_along_axis(
+                        At1,
+                        jnp.clip(idx - _LANES, 0, _LANES - 1),
+                        axis=1,
+                    )
+                    g = jnp.where(idx < _LANES, g, g2)
+                return g
+
             for pn, win in enumerate(wins):
                 Ats = []
                 if merge2:
@@ -388,24 +451,24 @@ def _make_kernel(mshape, lo0, lo1, order, TI, NP, NW, interpret,
                         for kj in range(ntaps + 1)
                     ]
                     for p in range(NP):
-                        A = jnp.zeros((_SLAB0, _LANES), f32)
+                        A = jnp.zeros((S0, _LANES), f32)
                         for kj in range(ntaps):
                             tap = jnp.where(
                                 offs[p], g[kj + 1], g[kj]
                             )
                             A = A + wcs[p][kj] * tap
-                        Ats.append(A.T)
+                        Ats.append(row_windows(A))
                 else:
                     for p in range(NP):
-                        A = jnp.zeros((_SLAB0, _LANES), f32)
+                        A = jnp.zeros((S0, _LANES), f32)
                         for kj in range(ntaps):
                             A = A + wcs[p][kj] * col_gather(
                                 win, cls[p] + kj
                             )
-                        Ats.append(A.T)
-                CB = jnp.take_along_axis(Ats[0], idxB, axis=1)
+                        Ats.append(row_windows(A))
+                CB = row_gather(Ats[0], idxB)
                 if NP == 2:
-                    C1 = jnp.take_along_axis(Ats[1], idxB, axis=1)
+                    C1 = row_gather(Ats[1], idxB)
                     CB = jnp.where(selB, CB, C1)
                 accs[pn] = accs[pn] + wrB[ki] * CB
         if batched:
@@ -421,11 +484,11 @@ def _make_kernel(mshape, lo0, lo1, order, TI, NP, NW, interpret,
     jax.jit,
     static_argnames=(
         "lo0", "lo1", "mshape", "order", "TI", "NP", "NW", "out_shape",
-        "interpret", "NBC", "guarded",
+        "interpret", "NBC", "guarded", "S0", "NR",
     ),
 )
 def _gtg_call(xext, lo0, lo1, mshape, order, TI, NP, NW, out_shape,
-              interpret=False, NBC=0, guarded=False):
+              interpret=False, NBC=0, guarded=False, S0=_SLAB0, NR=1):
     H, W = out_shape
     G0 = -(-H // TI)
     G1 = -(-W // _LANES)
@@ -435,7 +498,7 @@ def _gtg_call(xext, lo0, lo1, mshape, order, TI, NP, NW, out_shape,
     # pad the plane axis to whole chunks
     if NBC:
         GB = -(-xext.shape[0] // NBC)
-        guard2 = (0, 0) if guarded else (0, _SLAB0)
+        guard2 = (0, 0) if guarded else (0, S0)
         guard3 = (0, 0) if guarded else (0, _SLAB1)
         xg = jnp.pad(
             xext,
@@ -444,7 +507,7 @@ def _gtg_call(xext, lo0, lo1, mshape, order, TI, NP, NW, out_shape,
     elif guarded:
         xg = xext
     else:
-        xg = jnp.pad(xext, ((0, _SLAB0), (0, _SLAB1)))
+        xg = jnp.pad(xext, ((0, S0), (0, _SLAB1)))
     Hp, Wp = xg.shape[-2:]
 
     # ---- per-tile slab origins, computed ONCE outside the kernel and
@@ -475,7 +538,7 @@ def _gtg_call(xext, lo0, lo1, mshape, order, TI, NP, NW, out_shape,
     )
     rmin = rr.min(axis=(2, 3)).astype(jnp.int32) + (lo0 + base_off)
     cmin = cc.min(axis=(2, 3)).astype(jnp.int32) + (lo1 + base_off)
-    rmin8 = (jnp.clip(rmin, 0, Hp - _SLAB0) // 8) * 8
+    rmin8 = (jnp.clip(rmin, 0, Hp - S0) // 8) * 8
     cmin_true = jnp.clip(cmin, 0, Wp - _SLAB1)
     rmin_flat = rmin8.reshape(-1)
     cmin_flat = cmin_true.reshape(-1)
@@ -486,6 +549,7 @@ def _gtg_call(xext, lo0, lo1, mshape, order, TI, NP, NW, out_shape,
         kernel = _make_kernel(
             mshape, int(lo0), int(lo1), int(order), int(TI),
             int(NP), int(NW), bool(interpret), NBC=int(NBC),
+            S0=int(S0), NR=int(NR),
         )
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
@@ -495,7 +559,7 @@ def _gtg_call(xext, lo0, lo1, mshape, order, TI, NP, NW, out_shape,
                 (NBC, TI, _LANES), lambda i, j, b, *_: (b, i, j)
             ),
             scratch_shapes=[
-                pltpu.VMEM((2, NBC, _SLAB0, _SLAB1), xext.dtype),
+                pltpu.VMEM((2, NBC, S0, _SLAB1), xext.dtype),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         )
@@ -516,7 +580,7 @@ def _gtg_call(xext, lo0, lo1, mshape, order, TI, NP, NW, out_shape,
 
     kernel = _make_kernel(
         mshape, int(lo0), int(lo1), int(order), int(TI), int(NP),
-        int(NW), bool(interpret),
+        int(NW), bool(interpret), S0=int(S0), NR=int(NR),
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -524,7 +588,7 @@ def _gtg_call(xext, lo0, lo1, mshape, order, TI, NP, NW, out_shape,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((TI, _LANES), lambda i, j, *_: (i, j)),
         scratch_shapes=[
-            pltpu.VMEM((2, _SLAB0, _SLAB1), xext.dtype),
+            pltpu.VMEM((2, S0, _SLAB1), xext.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -579,7 +643,7 @@ def affine_gtg_2d(x, matrix, offset, order, mode, cval, out_shape,
     plan = gtg_plan(matrix, order, tuple(int(v) for v in out_shape))
     if plan is None:
         return None
-    swapped, (a00, a01, a10, a11), TI, NP, NW, oshape = plan
+    swapped, (a00, a01, a10, a11), TI, NP, NW, oshape, S0, NR = plan
     o0, o1 = float(offset[0]), float(offset[1])
 
     # excursion over the TILE-PADDED output grid (garbage lanes clamp
@@ -612,7 +676,7 @@ def affine_gtg_2d(x, matrix, offset, order, mode, cval, out_shape,
     else:
         pad_mode = mode
     gpads = [
-        (pads[0][0], pads[0][1] + _SLAB0),
+        (pads[0][0], pads[0][1] + S0),
         (pads[1][0], pads[1][1] + _SLAB1),
     ]
     # guard rows/cols are appended INSIDE the same boundary.pad call
@@ -624,7 +688,7 @@ def affine_gtg_2d(x, matrix, offset, order, mode, cval, out_shape,
     out = _gtg_call(
         xext, pads[0][0], pads[1][0], mshape, int(order), int(TI),
         int(NP), int(NW), oshape, interpret=bool(interpret),
-        guarded=True,
+        guarded=True, S0=int(S0), NR=int(NR),
     )
     return out.T if swapped else out
 
@@ -664,7 +728,7 @@ def affine_gtg_batched2d(x, matrix, offset, order, mode, cval,
     plan = gtg_plan(matrix, order, tuple(int(v) for v in out_shape))
     if plan is None:
         return None
-    swapped, (a00, a01, a10, a11), TI, NP, NW, oshape = plan
+    swapped, (a00, a01, a10, a11), TI, NP, NW, oshape, S0, NR = plan
     o0, o1 = float(offset[0]), float(offset[1])
 
     G0 = -(-oshape[0] // TI)
@@ -696,16 +760,22 @@ def affine_gtg_batched2d(x, matrix, offset, order, mode, cval,
     else:
         pad_mode = mode
     gpads = [
-        (pads[0][0], pads[0][1] + _SLAB0),
+        (pads[0][0], pads[0][1] + S0),
         (pads[1][0], pads[1][1] + _SLAB1),
     ]
     xext = boundary.pad(x, [(0, 0)] + gpads, pad_mode, cval)
 
     mshape = (a00, a01, a10, a11, o0, o1)
-    nbc = min(_NBC_PLANES, int(x.shape[0]))
+    # double-buffered slab scratch must stay within a VMEM budget:
+    # taller slabs (large S0) trade away plane-batching width
+    vmem_per_plane = 2 * int(S0) * _SLAB1 * 4
+    nbc = max(
+        1,
+        min(_NBC_PLANES, (6 << 20) // vmem_per_plane, int(x.shape[0])),
+    )
     out = _gtg_call(
         xext, pads[0][0], pads[1][0], mshape, int(order), int(TI),
         int(NP), int(NW), oshape, interpret=bool(interpret),
-        NBC=nbc, guarded=True,
+        NBC=nbc, guarded=True, S0=int(S0), NR=int(NR),
     )
     return jnp.swapaxes(out, 1, 2) if swapped else out

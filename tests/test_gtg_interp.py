@@ -125,6 +125,14 @@ def test_np1_fast_path_downscale(image):
     _compare(image, m, np.array([0.0, 0.0]), 3, "constant", 2e-4)
 
 
+@pytest.mark.parametrize("order", [1, 3])
+def test_minification_short_slab(image, order):
+    # scale ~0.6 plans an S0 < 128 slab; the B-stage row window must
+    # zero-pad up to the 128-lane gather width
+    m = np.array([[0.62, 0.11], [-0.11, 0.62]])
+    _compare(image, m, np.array([1.5, -2.5]), order, "nearest", 2e-4)
+
+
 def test_gates_reject_strong_minification():
     m = np.array([[0.3, 0.1], [-0.1, 0.3]])  # both row slopes < 0.5
     assert gtg_interp.gtg_plan(m, 1, (256, 256)) is None
@@ -138,7 +146,7 @@ def test_gates_reject_huge_span():
 def test_plan_swaps_axes():
     plan = gtg_interp.gtg_plan(_rot(80.0), 1, (300, 200))
     assert plan is not None
-    swapped, (a00, _, _, _), _, _, _, oshape = plan
+    swapped, (a00, _, _, _), _, _, _, oshape, _, _ = plan
     assert swapped and abs(a00) > 0.9 and oshape == (200, 300)
 
 
