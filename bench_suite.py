@@ -71,7 +71,7 @@ def _readback(out):
         float(jnp.real(jnp.asarray(leaf)).ravel()[0])
 
 
-def _warm_ms(fn, reps=3, n1=1, n2=5):
+def _warm_ms(fn, reps=3, n1=2, n2=22):
     """Eager two-point slope: time n1 and n2 back-to-back calls with one
     readback each; the difference cancels the relay sync floor, which
     drifts too much to subtract as a separately measured constant."""
@@ -136,6 +136,78 @@ def _peak_gbps():
         ms = _slope_ms(_copy, x, n1=8, n2=48)
         _PEAK_GBPS = x.size * 4 * 2 / 1e9 / (ms / 1e3)
     return _PEAK_GBPS
+
+
+_GATHER_PEAK = None
+
+
+def _gather_peak_rows_per_s():
+    """Measured peak dynamic-gather throughput, in 128-lane rows/s.
+
+    Interp resampling kernels (GTG affine, warp gathers) are bound not
+    by HBM bandwidth but by the VPU's within-vreg lane-gather unit:
+    every ``take_along_axis(src, idx, axis=1)`` (tpu.dynamic_gather)
+    moves one sublane row of 128 lanes per unit step, and a general
+    affine needs ~10-20 such row moves per output point grid.  This
+    measures a dependent chain of 64 gathers per (128, 128) block — the
+    denominator for the interp group's pct_lightspeed (bound: gather).
+    """
+    global _GATHER_PEAK
+    if _GATHER_PEAK is None:
+        if jax.default_backend() != "tpu":
+            _GATHER_PEAK = 1e12
+            return _GATHER_PEAK
+        from jax.experimental import pallas as pl
+
+        K = 64
+
+        def _gather_kernel(src_ref, dst_ref):
+            v = src_ref[...]
+            idx = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1)
+            idx = (idx * 7 + 3) % 128  # full-lane permutation
+            for _ in range(K):
+                v = jnp.take_along_axis(v, idx, axis=1)
+            dst_ref[...] = v
+
+        G = 256
+
+        def _chain(v):
+            return pl.pallas_call(
+                _gather_kernel,
+                out_shape=jax.ShapeDtypeStruct(v.shape, v.dtype),
+                grid=(G,),
+                in_specs=[pl.BlockSpec((128, 128), lambda i: (i, 0))],
+                out_specs=pl.BlockSpec((128, 128), lambda i: (i, 0)),
+            )(v)
+
+        x = jnp.asarray(
+            np.random.RandomState(9).randn(G * 128, 128).astype(np.float32)
+        )
+        ms = _slope_ms(_chain, x, n1=4, n2=24)
+        _GATHER_PEAK = G * 128 * K / (ms / 1e3)
+    return _GATHER_PEAK
+
+
+def _gtg_shuffle_rows(matrix, order, out_shape, planes=1):
+    """Planned shuffle-row count (gathers + transposes, in 128-lane row
+    units) for one GTG resample — the numerator for gather-bound
+    lightspeed.  Mirrors ops/gtg_interp._make_kernel's op structure."""
+    from cupyimg_tpu.ops import gtg_interp as _G
+
+    plan = _G.gtg_plan(matrix, order, out_shape)
+    if plan is None:
+        return None
+    _, (a00, a01, a10, a11), TI, NP, NW, oshape, S0, NR = plan
+    ntaps = order + 1 if order > 0 else 1
+    merge2 = NP == 2 and ntaps >= 2 and abs(a10) < 1.0
+    ncol = (ntaps + 1) if merge2 else NP * ntaps
+    per_tile = (
+        ntaps * ncol * NW * S0            # col gathers
+        + ntaps * NP * max(S0, 128)       # transposes (row-equivalent)
+        + ntaps * NP * NR * 128           # row gathers
+    )
+    tiles = -(-oshape[0] // TI) * -(-oshape[1] // 128)
+    return per_tile * tiles * planes
 
 
 _VPU_PEAK = None
@@ -237,7 +309,8 @@ def _rank2d_flops(w0, w1, rank, npix):
     return 2 * (shared + per_point) * npix
 
 
-def emit(name, ms, nbytes=None, needs_complex=False, flops=None):
+def emit(name, ms, nbytes=None, needs_complex=False, flops=None,
+         shuffle_rows=None):
     only = os.environ.get("BENCH_SUITE_ONLY")
     if only is not None and not re.search(only, name):
         return
@@ -286,6 +359,15 @@ def emit(name, ms, nbytes=None, needs_complex=False, flops=None):
             100.0 * max(t_bw_ms, t_fl_ms) / ms, 1
         )
         rec["bound"] = "compute" if t_fl_ms > t_bw_ms else "bandwidth"
+    if shuffle_rows is not None and nbytes:
+        # gather-bound ops (interp resampling): the wall is the VPU's
+        # dynamic-gather unit, not HBM or FMA throughput
+        t_bw_ms = nbytes / 1e9 / _peak_gbps() * 1e3
+        t_g_ms = shuffle_rows / _gather_peak_rows_per_s() * 1e3
+        rec["pct_lightspeed"] = round(
+            100.0 * max(t_bw_ms, t_g_ms) / ms, 1
+        )
+        rec["bound"] = "gather" if t_g_ms > t_bw_ms else "bandwidth"
     print(json.dumps(rec), flush=True)
 
 
@@ -389,9 +471,10 @@ def main():
                 lambda v, o=order: ndi.affine_transform(
                     v, mat, order=o, mode="nearest", prefilter=False
                 ),
-                img, n1=1, n2=4,
+                img, n1=2, n2=26,
             ),
             nb2,
+            shuffle_rows=_gtg_shuffle_rows(mat, order, (4096, 4096)),
         )
     # diagonal affine hits the separable fast path
     dmat = np.array([[1.1, 0.0], [0.0, 0.9]], np.float32)
@@ -401,13 +484,13 @@ def main():
             lambda v: ndi.affine_transform(
                 v, dmat, order=1, mode="nearest", prefilter=False
             ),
-            img, n1=1, n2=6,
+            img, n1=2, n2=26,
         ),
         nb2,
     )
     emit("zoom_keep_2d_4096_order1",
          lambda: _slope_ms(lambda v: ndi.zoom(v, 1.0, order=1), img,
-                   n1=1, n2=6))
+                   n1=2, n2=26))
     emit("spline_filter_2d_4096_ord3",
          lambda: _slope_ms(lambda v: ndi.spline_filter(v, order=3), img), nb2)
     # boundary-mode sweep (BASELINE config group 2: "all modes")
@@ -425,7 +508,7 @@ def main():
         "shift_2d_4096_order5",
         lambda: _slope_ms(
             lambda v: ndi.shift(v, (2.3, -1.7), order=5, mode="reflect"),
-            img, n1=1, n2=6,
+            img, n1=2, n2=26,
         ),
         nb2,
     )
@@ -441,7 +524,7 @@ def main():
         "shift_complex_2d_2048_order3",
         lambda: _slope_ms(
             lambda v: ndi.shift(v, (1.3, -0.7), order=3, mode="reflect"),
-            _cimg(), n1=1, n2=6,
+            _cimg(), n1=2, n2=26,
         ),
         2048 * 2048 * 8 * 2,
         needs_complex=True,
@@ -449,10 +532,14 @@ def main():
     emit(
         "zoom_complex_2d_2048_order1",
         lambda: _slope_ms(
-            lambda v: ndi.zoom(v, 1.0, order=1), _cimg(), n1=1, n2=6,
+            lambda v: ndi.zoom(v, 1.0, order=1), _cimg(), n1=2, n2=26,
         ),
         2048 * 2048 * 8 * 2,
         needs_complex=True,
+    )
+    _r17 = np.deg2rad(17.0)
+    _rot17 = np.array(
+        [[np.cos(_r17), np.sin(_r17)], [-np.sin(_r17), np.cos(_r17)]]
     )
     emit(
         "rotate_3d_256c_order1",
@@ -461,9 +548,12 @@ def main():
                 v, 17.0, axes=(1, 2), reshape=False, order=1,
                 mode="nearest", prefilter=False,
             ),
-            vol, n1=1, n2=4,
+            vol, n1=1, n2=13,
         ),
         nb3,
+        shuffle_rows=_gtg_shuffle_rows(
+            _rot17, 1, (256, 256), planes=256
+        ),
     )
     # host-side grid build: jnp.mgrid is a device op chain and an
     # earlier poisoned relay stream would crash the suite here
@@ -472,7 +562,7 @@ def main():
     )
     emit("map_coords_3d_128c_order1",
          lambda: _slope_ms(lambda v: ndi.map_coordinates(v, coords3, order=1),
-                   vol[:128, :128, :128], n1=1, n2=6))
+                   vol[:128, :128, :128], n1=2, n2=26))
     # smooth 2-D dense warp -> locality-adaptive one-hot gather
     _rr, _cc = np.mgrid[0:2048, 0:2048].astype(np.float32)
     warp_coords = jnp.asarray(np.stack([
@@ -488,7 +578,7 @@ def main():
                 lambda v, o=order: ndi.map_coordinates(
                     v, warp_coords, order=o, mode="reflect",
                 ),
-                img[:2048, :2048], n1=1, n2=6,
+                img[:2048, :2048], n1=2, n2=26,
             ),
         )
 
@@ -496,10 +586,10 @@ def main():
     k2 = jnp.asarray(rng.randn(31, 31).astype(np.float32))
     emit("fftconvolve_2d_4096_k31",
          lambda: _slope_ms(lambda v: signal.fftconvolve(v, k2, mode="same"),
-                   img, n1=2, n2=8), nb2)
+                   img, n1=2, n2=14), nb2)
     emit("oaconvolve_2d_4096_k31",
          lambda: _slope_ms(lambda v: signal.oaconvolve(v, k2, mode="same"),
-                   img, n1=2, n2=8), nb2)
+                   img, n1=2, n2=14), nb2)
     sig = jnp.asarray(rng.randn(1 << 20).astype(np.float32))
     h = jnp.asarray(rng.randn(101).astype(np.float32))
     long1d = jnp.asarray(rng.randn(1 << 22).astype(np.float32))
@@ -525,18 +615,18 @@ def main():
         return v + (sh[0] + err).astype(v.dtype) * np.float32(1e-20)
 
     emit("phase_cross_corr_1024_up10", lambda: _slope_ms(_pcc_step, a,
-                                                 n1=1, n2=6))
+                                                 n1=2, n2=26))
     psf = jnp.ones((5, 5), jnp.float32) / 25
     small = jnp.clip(a[:512, :512] * 0.1 + 0.5, 0, 1)
     emit("richardson_lucy_512_it10",
          lambda: _slope_ms(lambda v: restoration.richardson_lucy(
              v, psf, iterations=10, clip=False) * np.float32(0.99)
              + np.float32(0.005),
-             small, n1=1, n2=6))
+             small, n1=2, n2=26))
     emit("wiener_hunt_1024",
          lambda: _slope_ms(lambda v: restoration.wiener(
              v, psf, 0.1, clip=False) * np.float32(1e-3),
-             a, n1=1, n2=6))
+             a, n1=2, n2=26))
 
     print(json.dumps({
         "sync_floor_ms": round(_sync_floor_ms(), 3),
