@@ -17,6 +17,7 @@ Design (new for TPU; no reference counterpart — SURVEY.md §2.4):
 from __future__ import annotations
 
 import functools
+import os as _os
 
 import numpy as np
 import jax
@@ -423,55 +424,88 @@ def sharded_label(x, mesh, spec, structure=None):
         gidx = jnp.broadcast_to(gidx, xs.shape)
         lab0 = jnp.where(fg, gidx, SENT)
 
-        def propagate(lab):
-            ext = lab
+        # Each outer round exchanges one K-deep halo, then runs K local
+        # propagate+compress steps on the extended block before the
+        # next collective.  Min-propagation is monotone, so working
+        # from a halo that goes stale over the K steps cannot corrupt
+        # the fixpoint — it only defers cross-shard information to the
+        # next exchange — and the outer psum still certifies the global
+        # fixpoint (an unchanged round starts with a fresh exchange).
+        # This cuts per-round collectives K-fold: the loop is latency-
+        # bound by ppermute/psum round trips, not by the array work.
+        K = int(_os.environ.get("CUPYIMG_TPU_LABEL_STEPS", "1"))
+        HOPS = int(_os.environ.get("CUPYIMG_TPU_LABEL_HOPS", "2"))
+        for j in range(ndim):
+            if names[j] is not None:
+                K = min(K, nloc[j])  # single-hop ppermute depth bound
+        interior = tuple(
+            slice(K, K + nloc[j]) if names[j] is not None
+            else slice(None)
+            for j in range(ndim)
+        )
+
+        def localize(f, starts_):
+            # global flat label value -> (in-shard?, local flat index)
+            in_loc = f != SENT
+            loc = jnp.zeros_like(f)
             for j in range(ndim):
-                if names[j] is None:
-                    ext = _edge_pad(ext, 1, 1, j, "grid-constant", SENT)
-                else:
-                    ext = halo_exchange(
-                        ext, 1, 1, j, names[j], "grid-constant", SENT
-                    )
+                c = (f // np.int32(strides[j])) % np.int32(
+                    x.shape[j])
+                lc = c - starts_[j]
+                in_loc = in_loc & (lc >= 0) & (lc < nloc[j])
+                loc = loc * np.int32(nloc[j]) + lc
+            return in_loc, jnp.clip(loc, 0, nlocal - 1)
+
+        def propagate_ext(ext, fg_ext):
+            """One min-propagation step over the whole extended block
+            (halo cells evolve locally too; monotone, so safe)."""
+            e1 = ext
+            for j in range(ndim):
+                e1 = _edge_pad(e1, 1, 1, j, "grid-constant", SENT)
             if use_box:
                 m = lax.reduce_window(
-                    ext, SENT, lax.min, (3,) * ndim, (1,) * ndim,
+                    e1, SENT, lax.min, (3,) * ndim, (1,) * ndim,
                     "VALID",
                 )
             else:
-                m = ext[tuple(slice(1, 1 + nloc[j]) for j in
-                              range(ndim))]
+                m = ext
                 for off in offsets:
                     sl = tuple(
-                        slice(1 + off[j], 1 + off[j] + nloc[j])
+                        slice(1 + off[j], 1 + off[j] + ext.shape[j])
                         for j in range(ndim)
                     )
-                    m = jnp.minimum(m, ext[sl])
-            return jnp.where(fg, jnp.minimum(lab, m), SENT)
+                    m = jnp.minimum(m, e1[sl])
+            return jnp.where(fg_ext, jnp.minimum(ext, m), SENT)
 
-        def compress(lab):
-            flat = lab.ravel()
-            starts_ = _starts()
-
-            def localize(f):
-                # global flat -> (in-shard?, local flat)
-                in_loc = f != SENT
-                loc = jnp.zeros_like(f)
-                for j in range(ndim):
-                    c = (f // np.int32(strides[j])) % np.int32(
-                        x.shape[j])
-                    lc = c - starts_[j]
-                    in_loc = in_loc & (lc >= 0) & (lc < nloc[j])
-                    loc = loc * np.int32(nloc[j]) + lc
-                return in_loc, jnp.clip(loc, 0, nlocal - 1)
-
-            in1, l1 = localize(flat)
-            hop = jnp.where(in1, flat[l1], flat)
-            in2, l2 = localize(hop)
-            hop2 = jnp.where(in2, flat[l2], hop)
-            return jnp.minimum(flat, hop2).reshape(lab.shape)
+        def compress_ext(ext, starts_):
+            """Multi-hop path compression against the interior's local
+            parent table (labels owned by other shards pass through).
+            More hops shorten parent chains faster, trading local
+            gathers for propagation rounds (and their collectives)."""
+            tbl = ext[interior].ravel()
+            f = ext.ravel()
+            hop = f
+            for _ in range(HOPS):
+                in_, l_ = localize(hop, starts_)
+                hop = jnp.where(in_, tbl[l_], hop)
+            return jnp.minimum(f, hop).reshape(ext.shape)
 
         def round_(lab):
-            return compress(propagate(lab))
+            # unsharded axes need no pre-pad: propagate_ext SENT-pads
+            # every axis by one per step, which is the global edge
+            ext = lab
+            for j in range(ndim):
+                if names[j] is not None:
+                    ext = halo_exchange(
+                        ext, K, K, j, names[j], "grid-constant", SENT
+                    )
+            fg_ext = ext != SENT
+            starts_ = _starts()
+            for _ in range(K):
+                ext = compress_ext(
+                    propagate_ext(ext, fg_ext), starts_
+                )
+            return ext[interior]
 
         def _changed(new, old):
             delta = jnp.any(new != old).astype(np.int32)
