@@ -38,6 +38,15 @@ def _timed_ms(fn, x, n):
     return (time.perf_counter() - t0) * 1e3
 
 
+def _perturbed(x, count):
+    """Value-distinct copies: the dev relay can replay a repeated
+    (program, identical-input) execution from cache, so every timed
+    invocation gets its own input."""
+    out = [x * (1 + np.float32(1e-7) * k) for k in range(count)]
+    jax.block_until_ready(out)
+    return out
+
+
 def main():
     x = np.random.RandomState(0).randn(256, 256, 256).astype(np.float32)
     xg = jax.device_put(jnp.asarray(x))
@@ -62,15 +71,19 @@ def main():
             )
 
     n1, n2 = 6, 56
-    _timed_ms(many, xg, n1)  # warmup/compile both trip counts
-    _timed_ms(many, xg, n2)
+    vs = iter(_perturbed(xg, 12))
+    _timed_ms(many, next(vs), n1)  # warmup/compile both trip counts
+    _timed_ms(many, next(vs), n2)
 
-    slopes = []
+    # median each trip count separately, then difference: relay hiccups
+    # inflate single samples by tens of ms, and a pairwise-slope median
+    # is poisoned whenever one half of a pair glitches
+    t1s = []
+    t2s = []
     for _ in range(5):
-        t1 = _timed_ms(many, xg, n1)
-        t2 = _timed_ms(many, xg, n2)
-        slopes.append((t2 - t1) / (n2 - n1))
-    med = float(np.median(slopes))
+        t1s.append(_timed_ms(many, next(vs), n1))
+        t2s.append(_timed_ms(many, next(vs), n2))
+    med = (float(np.median(t2s)) - float(np.median(t1s))) / (n2 - n1)
 
     print(
         json.dumps(
