@@ -55,7 +55,11 @@ def main():
 
     @functools.partial(jax.jit, static_argnums=1)
     def many(v, n):
-        return lax.fori_loop(0, n, lambda i, acc: one(acc), v)
+        # barrier: stop XLA fusing across iterations (the slope must
+        # price the standalone op, not a fused chain's marginal cost)
+        return lax.fori_loop(
+            0, n, lambda i, acc: lax.optimization_barrier(one(acc)), v
+        )
 
     # Attribute the measurement: the computation must actually contain
     # the fused Pallas kernel.  Round 1 shipped a silent fallback to the

@@ -48,36 +48,59 @@ def _perturbed(x, count):
 def _slope_ms(fn, x, n1=4, n2=24, reps=5):
     @functools.partial(jax.jit, static_argnums=1)
     def many(v, n):
-        return lax.fori_loop(0, n, lambda i, acc: fn(acc), v)
+        # the barrier stops XLA fusing across iterations: a chain of
+        # pure-jnp stencils otherwise collapses into one fused pass
+        # whose marginal per-iteration cost is far below the standalone
+        # op (binary_opening "measured" 4.9 TB/s), which is not the
+        # standalone per-call number this suite claims
+        return lax.fori_loop(
+            0, n,
+            lambda i, acc: lax.optimization_barrier(fn(acc)),
+            v,
+        )
 
-    variants = iter(_perturbed(x, 2 * reps + 2))
+    def estimate(m1, m2):
+        variants = iter(_perturbed(x, 2 * reps + 2))
 
-    def timed(n):
-        v = next(variants)
-        t0 = time.perf_counter()
-        # scalar readback: block_until_ready returns early through the
-        # dev relay (see bench.py), a host transfer does not
-        float(many(v, n).ravel()[0])
-        return (time.perf_counter() - t0) * 1e3
+        def timed(n):
+            v = next(variants)
+            t0 = time.perf_counter()
+            # scalar readback: block_until_ready returns early through
+            # the dev relay (see bench.py), a host transfer does not
+            float(many(v, n).ravel()[0])
+            return (time.perf_counter() - t0) * 1e3
 
-    timed(n1)
-    timed(n2)
-    # median each trip count separately, then difference: relay/compile-
-    # service hiccups inflate individual samples by tens of ms, and a
-    # median of PAIRWISE slopes is poisoned whenever one half of a pair
-    # glitches.  Per-trip medians tolerate glitches in up to half the
-    # samples of each side.
-    t1s = []
-    t2s = []
-    for _ in range(reps):
-        t1s.append(timed(n1))
-        t2s.append(timed(n2))
-    s = (float(np.median(t2s)) - float(np.median(t1s))) / (n2 - n1)
-    if s <= 0:
-        pairs = [
-            (b - a) / (n2 - n1) for a, b in zip(t1s, t2s) if b > a
-        ]
-        s = float(np.median(pairs)) if pairs else abs(s)
+        timed(m1)
+        timed(m2)
+        # median each trip count separately, then difference: relay /
+        # compile-service hiccups inflate individual samples by tens of
+        # ms, and a median of PAIRWISE slopes is poisoned whenever one
+        # half of a pair glitches.  Per-trip medians tolerate glitches
+        # in up to half the samples of each side.
+        t1s = []
+        t2s = []
+        for _ in range(reps):
+            t1s.append(timed(m1))
+            t2s.append(timed(m2))
+        s = (float(np.median(t2s)) - float(np.median(t1s))) / (m2 - m1)
+        if s <= 0:
+            pairs = [
+                (b - a) / (m2 - m1) for a, b in zip(t1s, t2s) if b > a
+            ]
+            s = float(np.median(pairs)) if pairs else abs(s)
+        return s
+
+    s = estimate(n1, n2)
+    # fast ops need a bigger trip-count spread: the relay jitter is a
+    # few ms, so a sub-10 ms signal (slope * spread) is noise — rescale
+    # the spread toward a ~25 ms signal and re-estimate (iterate: a
+    # jitter-inflated first estimate undershoots the needed spread)
+    span = n2 - n1
+    for _ in range(3):
+        if s * span >= 10.0 or span >= 2000:
+            break
+        span = min(2000, max(span + 1, int(25.0 / max(s, 0.02))))
+        s = estimate(n1, n1 + span)
     return s
 
 
@@ -639,17 +662,17 @@ def main():
     NV = 1 + 4 * 10  # calls one _warm_ms run makes
     long_v = _perturbed(long1d, NV)
     sig_v = _perturbed(sig, NV)
+    # jit the thunks: eager dispatch pushes each op's full Python front
+    # end through the relay per call, which swamps ms-scale kernels
+    _oa1 = jax.jit(lambda v: signal.oaconvolve(v, h257, mode="same"))
+    _uf = jax.jit(lambda v: signal.upfirdn(h, v, up=2, down=3))
+    _rp = jax.jit(lambda v: signal.resample_poly(v, 2, 3))
     emit("oaconvolve_1d_4M_k257",
-         lambda: _warm_ms(
-             lambda k: signal.oaconvolve(
-                 long_v[k % NV], h257, mode="same"),
-             reps=3))
+         lambda: _warm_ms(lambda k: _oa1(long_v[k % NV]), reps=3))
     emit("upfirdn_1M_h101_up2_down3",
-         lambda: _warm_ms(
-             lambda k: signal.upfirdn(h, sig_v[k % NV], up=2, down=3)))
+         lambda: _warm_ms(lambda k: _uf(sig_v[k % NV])))
     emit("resample_poly_1M_2_3",
-         lambda: _warm_ms(
-             lambda k: signal.resample_poly(sig_v[k % NV], 2, 3)))
+         lambda: _warm_ms(lambda k: _rp(sig_v[k % NV])))
 
     # --- registration / restoration suite ---------------------------------
     a = jnp.asarray(rng.randn(1024, 1024).astype(np.float32))
