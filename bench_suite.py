@@ -541,6 +541,25 @@ def main():
             nb2,
             shuffle_rows=_gtg_shuffle_rows(mat, order, (4096, 4096)),
         )
+    # large-angle rotation: the (TI, S0) planner keeps full-height
+    # output tiles via a 192-row slab + dual B-stage row windows (the
+    # old fixed-slab ladder fit only TI=40 here, 3.2x redundant work)
+    _r40 = np.deg2rad(40.0)
+    rot40 = np.array(
+        [[np.cos(_r40), np.sin(_r40)], [-np.sin(_r40), np.cos(_r40)]],
+        np.float32,
+    )
+    emit(
+        "affine_2d_4096_rot40_order1",
+        lambda: _slope_ms(
+            lambda v: ndi.affine_transform(
+                v, rot40, order=1, mode="nearest", prefilter=False
+            ),
+            img, n1=2, n2=26,
+        ),
+        nb2,
+        shuffle_rows=_gtg_shuffle_rows(rot40, 1, (4096, 4096)),
+    )
     # diagonal affine hits the separable fast path
     dmat = np.array([[1.1, 0.0], [0.0, 0.9]], np.float32)
     emit(

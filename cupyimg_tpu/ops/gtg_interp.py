@@ -10,9 +10,11 @@ within-vreg dynamic gather (``tpu.dynamic_gather``, reachable as
 ``jnp.take_along_axis(src, idx, axis=1)`` with ``idx.shape ==
 src.shape`` and lane width <= 128) to move each tap with O(1) work:
 
-- Per output tile (TI, 128) a (128, 256) source slab is DMA'd to VMEM
-  and lane-rolled so local column taps start at lane 0 (column spans up
-  to ~248 are served by gathering each 128-lane half and selecting).
+- Per output tile (TI, 128) an (S0, 384) source slab is DMA'd to VMEM
+  and lane-rolled so local column taps start at lane 0.  The planner
+  picks (TI, S0) per matrix — up to 240 slab rows so rotations keep
+  full 128-row tiles; spans past one 128-lane window (columns) or one
+  128-row window (B-stage rows) gather each window and select.
 - **A-stage** (column taps): for every slab row s0 and output column j,
   invert the affine row map to find the output row i whose row tap
   lands on s0, then lane-gather that point's (order+1) column taps and
@@ -48,8 +50,10 @@ likewise computed once, outside the kernel, and fed through scalar
 prefetch so the pipelined prefetch-site and the compute-site can never
 disagree.
 
-Measured: 4096^2 order-1 17-degree rotation ~2.4 ms compute (vs 21 ms
-one-hot), ~16 B/point of slab DMA.
+Measured (v5e): 4096^2 order-1 rotations ~2.8-4.0 ms (vs 21 ms
+one-hot), ~55-75% of the chip's dynamic-gather lightspeed
+(bench_suite.py measures the gather peak and each plan's shuffle-row
+count); ~16 B/point of slab DMA.
 
 Cites: reference affine gather kernels
 cupyimg/scipy/ndimage/_interp_kernels.py:277-592 and kernel factories
