@@ -495,7 +495,8 @@ def main():
     emit("correlate_dense_9x9_2d_4096",
          lambda: _slope_ms(
              lambda v: ndi.correlate(v, np.asarray(k9d), mode="reflect",
-                                     dtype_mode="float"), img), nb2)
+                                     dtype_mode="float"), img), nb2,
+         flops=2 * 81 * img.size)
 
     # --- morphology + rank suite -----------------------------------------
     emit("minimum_3d_256c_s5",
