@@ -243,3 +243,53 @@ class TestCalibrateDenoiser:
             approximate_loss=False,
         )
         assert f(noisy).shape == noisy.shape
+
+    # ported from the reference suite
+    # (cupyimg/skimage/restoration/tests/test_j_invariant.py), with
+    # synthetic images standing in for skimage.data's camera/chelsea
+
+    def _synthetic(self, shape, seed=11):
+        import scipy.ndimage as sndi
+
+        rng = np.random.RandomState(seed)
+        return np.clip(
+            sndi.gaussian_filter(rng.rand(*shape), 3.0) * 2.0, 0, 1
+        )
+
+    def test_invariant_denoise_improves_mse(self):
+        # reference test_invariant_denoise (TV denoiser)
+        from cupyimg_tpu.skimage.restoration.j_invariant import (
+            _invariant_denoise,
+        )
+
+        rng = np.random.RandomState(12)
+        clean = self._synthetic((64, 64))
+        noisy = clean + 0.1 * rng.standard_normal(clean.shape)
+        den = np.asarray(
+            _invariant_denoise(
+                noisy, rest.denoise_tv_chambolle,
+                denoiser_kwargs={"weight": 0.1},
+            )
+        )
+        assert np.mean((den - clean) ** 2) < np.mean(
+            (noisy - clean) ** 2
+        )
+
+    def test_invariant_denoise_3d(self):
+        # reference test_invariant_denoise_3d
+        from cupyimg_tpu.skimage.restoration.j_invariant import (
+            _invariant_denoise,
+        )
+
+        rng = np.random.RandomState(13)
+        clean = self._synthetic((24, 24, 24)) / 2
+        noisy = clean + 0.17 * rng.standard_normal(clean.shape)
+        den = np.asarray(
+            _invariant_denoise(
+                noisy, rest.denoise_tv_chambolle,
+                denoiser_kwargs={"weight": 0.17},
+            )
+        )
+        assert np.mean((den - clean) ** 2) < np.mean(
+            (noisy - clean) ** 2
+        )

@@ -251,3 +251,145 @@ class TestMorphSnakes:
             self._blob(), 3, iter_callback=lambda u: calls.append(1)
         )
         assert len(calls) == 4  # initial + one per iteration
+
+    # ported from the reference suite
+    # (cupyimg/skimage/segmentation/tests/test_morphsnakes.py)
+
+    def test_black_image(self):
+        # reference test_morphsnakes_black: a zero image collapses the
+        # level set to zeros; balloon=1/threshold=-1/smoothing=0 grows
+        # it to ones
+        img = np.zeros((11, 11))
+        ls = seg.disk_level_set(img.shape, center=(5, 5), radius=3)
+        acwe = np.asarray(
+            seg.morphological_chan_vese(img, 6, init_level_set=ls)
+        )
+        np.testing.assert_array_equal(acwe, np.zeros(img.shape))
+        gac = np.asarray(
+            seg.morphological_geodesic_active_contour(
+                img, 6, init_level_set=ls
+            )
+        )
+        np.testing.assert_array_equal(gac, np.zeros(img.shape))
+        gac2 = np.asarray(
+            seg.morphological_geodesic_active_contour(
+                img, 6, init_level_set=ls, balloon=1, threshold=-1,
+                smoothing=0,
+            )
+        )
+        np.testing.assert_array_equal(gac2, np.ones(img.shape))
+        assert (
+            acwe.dtype == gac.dtype == gac2.dtype == np.dtype(np.int8)
+        )
+
+    def test_gaussian_blob_radius_insensitive(self):
+        # reference test_morphsnakes_simple_shape_chan_vese: two disk
+        # inits of different radii converge to the same segmentation
+        coords = np.mgrid[-5:6, -5:6]
+        img = np.exp(-(coords ** 2).sum(0) / 10)
+        ls1 = seg.disk_level_set(img.shape, center=(5, 5), radius=3)
+        ls2 = seg.disk_level_set(img.shape, center=(5, 5), radius=6)
+        a1 = np.asarray(
+            seg.morphological_chan_vese(img, 10, init_level_set=ls1)
+        )
+        a2 = np.asarray(
+            seg.morphological_chan_vese(img, 10, init_level_set=ls2)
+        )
+        np.testing.assert_array_equal(a1, a2)
+        assert a1.dtype == a2.dtype == np.dtype(np.int8)
+
+    def test_gac_simple_shape_golden(self):
+        # reference test_morphsnakes_simple_shape_geodesic_active_contour
+        img = np.asarray(
+            seg.disk_level_set((11, 11), center=(5, 5), radius=3.5)
+        ).astype(float)
+        gimg = seg.inverse_gaussian_gradient(img, alpha=10.0, sigma=1.0)
+        ls = seg.disk_level_set(img.shape, center=(5, 5), radius=6)
+        ref = np.array(
+            [
+                [0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0],
+                [0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0],
+                [0, 0, 0, 0, 0, 1, 0, 0, 0, 0, 0],
+                [0, 0, 0, 1, 1, 1, 1, 1, 0, 0, 0],
+                [0, 0, 0, 1, 1, 1, 1, 1, 0, 0, 0],
+                [0, 0, 1, 1, 1, 1, 1, 1, 1, 0, 0],
+                [0, 0, 0, 1, 1, 1, 1, 1, 0, 0, 0],
+                [0, 0, 0, 1, 1, 1, 1, 1, 0, 0, 0],
+                [0, 0, 0, 0, 0, 1, 0, 0, 0, 0, 0],
+                [0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0],
+                [0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0],
+            ],
+            dtype=np.int8,
+        )
+        gac = np.asarray(
+            seg.morphological_geodesic_active_contour(
+                gimg, 10, init_level_set=ls, balloon=-1
+            )
+        )
+        np.testing.assert_array_equal(gac, ref)
+        assert gac.dtype == np.dtype(np.int8)
+
+    def test_init_level_set_names_golden(self):
+        # reference test_init_level_sets: zero iterations return the
+        # named initializations exactly
+        image = np.zeros((6, 6))
+        cb = np.asarray(seg.morphological_chan_vese(image, 0,
+                                                    "checkerboard"))
+        cb_ref = np.array(
+            [
+                [0, 0, 0, 0, 0, 1],
+                [0, 0, 0, 0, 0, 1],
+                [0, 0, 0, 0, 0, 1],
+                [0, 0, 0, 0, 0, 1],
+                [0, 0, 0, 0, 0, 1],
+                [1, 1, 1, 1, 1, 0],
+            ],
+            dtype=np.int8,
+        )
+        disk = np.asarray(
+            seg.morphological_geodesic_active_contour(image, 0, "disk")
+        )
+        disk_ref = np.array(
+            [
+                [0, 0, 0, 0, 0, 0],
+                [0, 0, 1, 1, 1, 0],
+                [0, 1, 1, 1, 1, 1],
+                [0, 1, 1, 1, 1, 1],
+                [0, 1, 1, 1, 1, 1],
+                [0, 0, 1, 1, 1, 0],
+            ],
+            dtype=np.int8,
+        )
+        np.testing.assert_array_equal(cb, cb_ref)
+        np.testing.assert_array_equal(disk, disk_ref)
+
+    def test_3d_shrinks_monotonically(self):
+        # reference test_morphsnakes_3d
+        image = np.zeros((7, 7, 7))
+        evolution = []
+        ls = seg.morphological_chan_vese(
+            image, 5, "disk",
+            iter_callback=lambda x: evolution.append(
+                float(np.asarray(x).sum())
+            ),
+        )
+        assert evolution[0] == 81
+        assert float(np.asarray(ls).sum()) == 0
+        for v1, v2 in zip(evolution[:-1], evolution[1:]):
+            assert v1 >= v2
+
+    def test_incorrect_shapes_raise(self):
+        # reference test_morphsnakes_incorrect_image_shape / _ndim
+        img = np.zeros((10, 10, 3))
+        ls = np.zeros((10, 9))
+        with pytest.raises(ValueError):
+            seg.morphological_chan_vese(img, 1, init_level_set=ls)
+        with pytest.raises(ValueError):
+            seg.morphological_geodesic_active_contour(
+                img, 1, init_level_set=ls
+            )
+        img4 = np.zeros((4, 4, 4, 4))
+        with pytest.raises(ValueError):
+            seg.morphological_chan_vese(
+                img4, 1, init_level_set=np.zeros((4, 4, 4, 4))
+            )
