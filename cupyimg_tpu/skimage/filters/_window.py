@@ -13,34 +13,44 @@ __all__ = ["window"]
 
 def window(window_type, shape, warp_kwargs=None):
     """Return an n-d window by rotating a 1-d ``scipy.signal.get_window``
-    profile (skimage parity)."""
+    profile (skimage parity).
+
+    Follows the reference construction exactly (_window.py:100-131):
+    per-axis coordinates ``arange(s) * (max_size / s)`` about the center
+    ``max_size/2 - 0.5`` — the interval-ratio stretch keeps anisotropic
+    axes at matching amplitude profiles — then the Euclidean distance
+    samples the 1-d window with interpolation."""
     from scipy.signal import get_window
 
+    from cupyimg_tpu.skimage._shared.utils import safe_as_int
+
     if np.isscalar(shape):
-        shape = (int(shape),)
-    shape = tuple(int(s) for s in shape)
+        shape = (int(safe_as_int(shape)),)
+    else:
+        shape = tuple(int(v) for v in np.atleast_1d(safe_as_int(shape)))
     if any(s < 0 for s in shape):
         raise ValueError("invalid shape")
     ndim = len(shape)
+    if ndim <= 0:
+        raise ValueError("Number of dimensions must be greater than zero")
+
     max_size = max(shape)
     w = jnp.asarray(get_window(window_type, max_size, fftbins=False))
 
-    if ndim == 1:
-        if shape[0] == max_size:
-            return w
-        # resample to requested length via linear interpolation
-        coords = jnp.linspace(0, max_size - 1, shape[0])[None]
-        return map_coordinates(w, coords, order=1)
-
-    # distance of each pixel from the center in units of the window radius
-    L = [jnp.linspace(-(max_size - 1) / 2, (max_size - 1) / 2, s)
-         for s in shape]
+    center = max_size / 2 - 0.5
+    L = [
+        jnp.arange(s, dtype=jnp.float32) * (max_size / s) - center
+        for s in shape
+    ]
     grids = jnp.meshgrid(*L, indexing="ij", sparse=True)
     dist2 = None
     for g in grids:
         d = g * g
         dist2 = d if dist2 is None else dist2 + d
-    dist = jnp.sqrt(dist2)
-    coords = dist + (max_size - 1) / 2
-    out = map_coordinates(w, coords[None], order=1, mode="constant", cval=0.0)
-    return out
+    coords = jnp.sqrt(dist2) + center
+    if warp_kwargs is None:
+        warp_kwargs = {}
+    order = int(warp_kwargs.get("order", 1))
+    return map_coordinates(
+        w, coords[None], order=order, mode="constant", cval=0.0
+    )

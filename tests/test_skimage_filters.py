@@ -110,6 +110,56 @@ class TestGaborWindowLPI:
         assert w[8, 8] == pytest.approx(1.0, abs=1e-6)
         np.testing.assert_allclose(w, w.T, atol=1e-10)
 
+    # ported from the reference suite
+    # (cupyimg/skimage/filters/tests/test_window.py)
+
+    @pytest.mark.parametrize("size", [5, 6])
+    @pytest.mark.parametrize("ndim", [2, 3, 4])
+    def test_window_shape_isotropic(self, size, ndim):
+        w = np.asarray(filters.window("hann", (size,) * ndim))
+        assert w.ndim == ndim
+        assert w.shape[1:] == w.shape[:-1]
+        for i in range(1, ndim - 1):
+            np.testing.assert_allclose(
+                w.sum(axis=0), w.sum(axis=i), atol=1e-6
+            )
+
+    @pytest.mark.parametrize("shape", [(8, 16), (16, 8), (2, 3, 4)])
+    def test_window_shape_anisotropic(self, shape):
+        assert np.asarray(filters.window("hann", shape)).shape == shape
+
+    @pytest.mark.parametrize("shape", [(17, 33), (17, 97)])
+    def test_window_anisotropic_amplitude(self, shape):
+        # the warp stretches the window to cover each axis' range, so
+        # the two center profiles should have similar mean amplitude
+        w = np.asarray(filters.window(("tukey", 0.8), shape))
+        profile_w = w[w.shape[0] // 2, :]
+        profile_h = w[:, w.shape[1] // 2]
+        assert abs(profile_w.mean() - profile_h.mean()) < 0.01
+
+    @pytest.mark.parametrize("wintype", [16, "triang", ("tukey", 0.8)])
+    def test_window_type(self, wintype):
+        w = np.asarray(filters.window(wintype, (9, 9)))
+        assert w.ndim == 2 and w.shape == (9, 9)
+        np.testing.assert_allclose(
+            w.sum(axis=0), w.sum(axis=1), atol=1e-6
+        )
+
+    @pytest.mark.parametrize("size", [10, 11])
+    def test_window_1d_even_odd(self, size):
+        from scipy.signal import get_window
+
+        w = np.asarray(filters.window("hann", size))
+        np.testing.assert_allclose(
+            w, get_window("hann", size, fftbins=False), atol=1e-6
+        )
+
+    def test_window_invalid_shape(self):
+        with pytest.raises(ValueError):
+            filters.window(10, shape=(-5, 10))
+        with pytest.raises(ValueError):
+            filters.window(10, shape=(1.3, 2.0))
+
     def test_lpi_wiener_smooths(self):
         x = _img((16, 16), 3)
 
