@@ -38,6 +38,9 @@ def random_noise(image, mode="gaussian", seed=None, clip=True, **kwargs):
             out = image + image * noise
     elif mode == "localvar":
         local_vars = jnp.asarray(kwargs["local_vars"])
+        # upstream contract: every local variance strictly positive
+        if np.any(np.asarray(local_vars) <= 0):
+            raise ValueError("All values of `local_vars` must be > 0.")
         out = image + jnp.sqrt(local_vars) * jax.random.normal(
             key, image.shape, dtype=image.dtype
         )
@@ -65,7 +68,8 @@ def random_noise(image, mode="gaussian", seed=None, clip=True, **kwargs):
             out = jnp.where(flipped & salted, 1.0, image)
             out = jnp.where(flipped & ~salted, low_clip, out)
     else:
-        raise ValueError(f"unknown noise mode: {mode}")
+        # upstream raises KeyError (allowed-types dict lookup)
+        raise KeyError(f"unknown noise mode: {mode}")
 
     if clip:
         out = jnp.clip(out, low_clip, 1.0)
