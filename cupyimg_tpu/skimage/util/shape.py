@@ -44,6 +44,9 @@ def view_as_blocks(arr_in, block_shape):
 
 def view_as_windows(arr_in, window_shape, step=1):
     """Overlapping rolling-window view (skimage parity; materialized)."""
+    if not isinstance(arr_in, (np.ndarray, jnp.ndarray)):
+        # upstream contract: lists/tuples raise, no silent conversion
+        raise TypeError("`arr_in` must be a numpy or jax ndarray")
     arr_in = jnp.asarray(arr_in)
     ndim = arr_in.ndim
     if isinstance(window_shape, numbers.Number):
