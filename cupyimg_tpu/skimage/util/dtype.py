@@ -65,10 +65,30 @@ def _dtype_bits(kind, bits, itemsize=1):
 def _scale(a, n, m):
     """Scale positive integers from n to m bits (exact upscale via bit
     replication, floor-divide downscale)."""
+    import jax
+
     kind = np.dtype(a.dtype).kind
     if n == m:
         return a
     if n > m:
+        # upstream: when every value already fits in m bits, plain-cast
+        # without scaling and warn (reference dtype.py:148-161).  The
+        # check is data-dependent, so traced values take the scaling
+        # path instead.
+        if not isinstance(a, jax.core.Tracer):
+            amax = int(jnp.max(a)) if jnp.size(a) else 0
+            if amax < 2 ** m:
+                mnew = math.ceil(m / 2) * 2
+                name = "{}{}".format(
+                    "int" if kind == "i" else "uint", mnew
+                )
+                warnings.warn(
+                    f"Downcasting {np.dtype(a.dtype)} to {name} "
+                    f"without scaling because max value {amax} "
+                    f"fits in {name}",
+                    stacklevel=3,
+                )
+                return a.astype(_dtype_bits(kind, m))
         # downscale with precision loss
         return (a // (2 ** (n - m))).astype(_dtype_bits(kind, m))
     if m % n == 0:
@@ -124,6 +144,19 @@ def _convert(image, dtype, force_copy=False, uniform=False):
     if kind_in == "f":
         if kind_out == "f":
             return image.astype(dtype_out)
+        # upstream: float images must lie in [-1, 1] before integer
+        # conversion (reference dtype.py:305-306); data-dependent, so
+        # traced values skip the eager check
+        import jax
+
+        if not isinstance(image, jax.core.Tracer) and jnp.size(image):
+            if (
+                float(jnp.min(image)) < -1.0
+                or float(jnp.max(image)) > 1.0
+            ):
+                raise ValueError(
+                    "Images of type float must be between -1 and 1."
+                )
         computation_type = _dtype_itemsize(
             itemsize_out, dtype_in, np.float32, np.float64
         )
