@@ -13,13 +13,19 @@ def _match_cumulative_cdf(source, template):
     """Map source values so their CDF matches the template's."""
     src = source.ravel()
     tmpl = template.ravel()
+    # quantile arithmetic must run in the default float dtype: an
+    # int32 rank divided by a Python int promotes to float32 even
+    # under x64, which costs ~1e-7 on otherwise-exact knot hits
+    ftype = jnp.result_type(float)
     # quantile of each source value among source values
     src_sorted = jnp.sort(src)
     # CDF position of each pixel: searchsorted right gives rank
     src_rank = jnp.searchsorted(src_sorted, src, side="right")
-    src_quantiles = src_rank / src.shape[0]
-    tmpl_sorted = jnp.sort(tmpl)
-    tmpl_quantiles = (jnp.arange(tmpl.shape[0]) + 1) / tmpl.shape[0]
+    src_quantiles = src_rank.astype(ftype) / src.shape[0]
+    tmpl_sorted = jnp.sort(tmpl).astype(ftype)
+    tmpl_quantiles = (
+        jnp.arange(tmpl.shape[0], dtype=ftype) + 1
+    ) / tmpl.shape[0]
     interp = jnp.interp(src_quantiles, tmpl_quantiles, tmpl_sorted)
     return interp.reshape(source.shape)
 
