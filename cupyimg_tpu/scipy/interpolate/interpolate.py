@@ -148,9 +148,19 @@ def interpn(points, values, xi, method="linear", bounds_error=True,
         raise ValueError(f"interpn only understands the methods 'linear' "
                          f"and 'nearest'. You provided {method}.")
     values = jnp.asarray(values)
-    ndim = values.ndim
-    if ndim > len(points):
-        raise ValueError("The points in dimension do not match")
+    if len(points) > values.ndim:
+        raise ValueError(
+            f"There are {len(points)} point arrays, but values has "
+            f"{values.ndim} dimensions"
+        )
+    # scipy's _ndim_coords_from_arrays: a tuple of coordinate arrays is
+    # broadcast together and stacked on a new trailing axis
+    if isinstance(xi, tuple) and len(xi) > 1:
+        parts = [jnp.asarray(x) for x in xi]
+        shape = np.broadcast_shapes(*[p.shape for p in parts])
+        xi = jnp.stack(
+            [jnp.broadcast_to(p, shape) for p in parts], axis=-1
+        )
     interp = RegularGridInterpolator(
         points, values, method=method, bounds_error=bounds_error,
         fill_value=fill_value,

@@ -50,7 +50,21 @@ def window(window_type, shape, warp_kwargs=None):
     coords = jnp.sqrt(dist2) + center
     if warp_kwargs is None:
         warp_kwargs = {}
+    # the reference forwards **warp_kwargs to transform.warp and lets it
+    # raise on unknown keys; mirror that fail-loud contract for the
+    # interpolation kwargs our map_coordinates sampling understands
+    unknown = set(warp_kwargs) - {"order", "mode", "cval", "prefilter"}
+    if unknown:
+        raise TypeError(
+            "window() got unsupported warp_kwargs keys: "
+            + ", ".join(sorted(unknown))
+        )
     order = int(warp_kwargs.get("order", 1))
     return map_coordinates(
-        w, coords[None], order=order, mode="constant", cval=0.0
+        w,
+        coords[None],
+        order=order,
+        mode=warp_kwargs.get("mode", "constant"),
+        cval=warp_kwargs.get("cval", 0.0),
+        prefilter=warp_kwargs.get("prefilter", True),
     )

@@ -104,10 +104,33 @@ class GeometricTransform:
     def inverse(self, coords):
         raise NotImplementedError()
 
+    def __add__(self, other):
+        raise NotImplementedError()
+
     def residuals(self, src, dst):
         """Per-point distance between transformed src and dst."""
         src_t = np.asarray(self(src))
         return np.sqrt(np.sum((src_t - np.asarray(dst)) ** 2, axis=1))
+
+    def _nice(self):
+        """Parameter string shared by __str__ and __repr__ (upstream
+        skimage format)."""
+        import textwrap
+
+        if hasattr(self, "params"):
+            npstring = np.array2string(
+                np.asarray(self.params), separator=", "
+            )
+            return "matrix=\n" + textwrap.indent(npstring, "    ")
+        return ""
+
+    def __repr__(self):
+        return "<{}({}) at {}>".format(
+            self.__class__.__name__, self._nice(), hex(id(self))
+        )
+
+    def __str__(self):
+        return "<{}({})>".format(self.__class__.__name__, self._nice())
 
 
 class ProjectiveTransform(GeometricTransform):
@@ -167,6 +190,10 @@ class ProjectiveTransform(GeometricTransform):
 
         # flatten: solution is the null vector
         _, _, V = np.linalg.svd(A)
+        # degenerate configuration (e.g. collinear points) makes the
+        # homogeneous scale vanish (skimage gh-3926)
+        if np.isclose(V[-1, -1], 0):
+            return False
         H = np.zeros((d + 1, d + 1))
         H.flat[list(self._coeffs) + [-1]] = -V[-1, :-1] / V[-1, -1]
         H[d, d] = 1
@@ -186,6 +213,16 @@ class ProjectiveTransform(GeometricTransform):
             else:
                 tform = ProjectiveTransform
             return tform(matrix=other.params @ self.params)
+        if (
+            hasattr(other, "__name__")
+            and other.__name__ == "inverse"
+            and isinstance(getattr(other, "__self__", None),
+                           ProjectiveTransform)
+        ):
+            # tform1 + tform2.inverse composes with the inverse matrix
+            return ProjectiveTransform(
+                matrix=other.__self__._inv_matrix @ self.params
+            )
         raise TypeError("Cannot combine transformations of differing types.")
 
     @property
@@ -248,6 +285,13 @@ class AffineTransform(ProjectiveTransform):
         src = np.asarray(src, dtype=np.float64)
         dst = np.asarray(dst, dtype=np.float64)
         n, d = src.shape
+        # degenerate input (zero point spread) gives all-NaN params,
+        # matching the upstream normalized-DLT failure mode
+        src_matrix, _ = _center_and_normalize_points(src)
+        dst_matrix, _ = _center_and_normalize_points(dst)
+        if np.isnan(src_matrix).any() or np.isnan(dst_matrix).any():
+            self.params = np.full((d + 1, d + 1), np.nan)
+            return False
         # [x' y']^T = A [x y 1]^T : solve per output dim via lstsq
         X = np.hstack([src, np.ones((n, 1))])
         coeffs, *_ = np.linalg.lstsq(X, dst, rcond=None)

@@ -18,9 +18,10 @@ def invert(image, signed_float=False):
     if kind == "b":
         return ~image
     if kind in "iu":
-        imin, imax = dtype_limits(image, clip_negative=False)
-        return (imax + imin - image.astype(np.int64)).astype(image.dtype) \
-            if kind == "i" else imax - image
+        # max+min-x is -1-x (= ~x) for signed and max-x (= ~x) for
+        # unsigned, so integer inversion is exactly bitwise NOT — and
+        # stays in-dtype even for uint64, whose max overflows int64
+        return ~image
     if signed_float:
         return -image
     return 1.0 - image

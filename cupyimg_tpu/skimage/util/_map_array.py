@@ -130,6 +130,10 @@ class ArrayMap:
     def __setitem__(self, indices, values):
         if self._array is None:
             self._array = self._asarray()
+        if isinstance(indices, (jnp.ndarray, np.ndarray)) and np.dtype(
+            jnp.asarray(indices).dtype
+        ) == bool:
+            indices = jnp.flatnonzero(jnp.asarray(indices))
         self._array = self._array.at[indices].set(values)
         self.in_values = jnp.flatnonzero(self._array)
         self._max_label = int(jnp.max(self.in_values))

@@ -79,8 +79,10 @@ def _scale(a, n, m):
             amax = int(jnp.max(a)) if jnp.size(a) else 0
             if amax < 2 ** m:
                 mnew = math.ceil(m / 2) * 2
+                # reference dtype.py:148-153: odd m rounds up to a
+                # signed name, even m keeps the unsigned name
                 name = "{}{}".format(
-                    "int" if kind == "i" else "uint", mnew
+                    "int" if mnew > m else "uint", mnew
                 )
                 warnings.warn(
                     f"Downcasting {np.dtype(a.dtype)} to {name} "

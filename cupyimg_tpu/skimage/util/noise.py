@@ -38,8 +38,12 @@ def random_noise(image, mode="gaussian", seed=None, clip=True, **kwargs):
             out = image + image * noise
     elif mode == "localvar":
         local_vars = jnp.asarray(kwargs["local_vars"])
-        # upstream contract: every local variance strictly positive
-        if np.any(np.asarray(local_vars) <= 0):
+        # upstream contract: every local variance strictly positive; the
+        # check is data-dependent, so traced values skip it (same policy
+        # as util/dtype.py's range checks)
+        if not isinstance(local_vars, jax.core.Tracer) and np.any(
+            np.asarray(local_vars) <= 0
+        ):
             raise ValueError("All values of `local_vars` must be > 0.")
         out = image + jnp.sqrt(local_vars) * jax.random.normal(
             key, image.shape, dtype=image.dtype
