@@ -54,13 +54,10 @@ def _to_ndimage_mode(mode):
         "reflect": "mirror",
         "wrap": "wrap",
     }
-    if mode not in mode_translation_dict:
-        raise ValueError(
-            f"Unknown mode: '{mode}', or cannot translate mode. The "
-            f"mode should be one of 'constant', 'edge', 'symmetric', "
-            f"'reflect', or 'wrap'."
-        )
-    return mode_translation_dict[mode]
+    # ndimage-native names ('nearest', 'mirror', 'grid-wrap', ...) pass
+    # through untranslated, like the reference (_geometric.py:14-21);
+    # map_coordinates itself rejects genuinely unknown modes
+    return mode_translation_dict.get(mode, mode)
 
 
 def _clip_warp_output(input_image, output_image, mode, cval, clip):
