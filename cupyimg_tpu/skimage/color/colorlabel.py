@@ -4,6 +4,7 @@ cupyimg/skimage/color/colorlabel.py)."""
 from __future__ import annotations
 
 import itertools
+import warnings
 
 import numpy as np
 import jax.numpy as jnp
@@ -14,6 +15,7 @@ from cupyimg_tpu.skimage.color.colorconv import (
     rgb2gray,
 )
 from cupyimg_tpu.skimage.util.dtype import img_as_float
+from cupyimg_tpu.skimage._shared.utils import change_default_value
 
 __all__ = ["color_dict", "label2rgb", "DEFAULT_COLORS"]
 
@@ -33,6 +35,7 @@ def _rgb_vector(color):
     return np.asarray(color[:3], dtype=np.float64)
 
 
+@change_default_value("bg_label", new_value=0, changed_version="0.19")
 def label2rgb(
     label, image=None, colors=None, alpha=0.3, bg_label=-1, bg_color=(0, 0, 0),
     image_alpha=1, kind="overlay",
@@ -64,6 +67,14 @@ def _label2rgb_overlay(
         image = jnp.asarray(image)
         if image.shape[: label.ndim] != label.shape or image.ndim > label.ndim + 1:
             raise ValueError("`image` and `label` must be the same shape")
+        import jax as _jax
+
+        if not isinstance(image, _jax.core.Tracer) and float(
+            image.min()
+        ) < 0:
+            warnings.warn(
+                "Negative intensities in `image` are not supported"
+            )
         if image.ndim == label.ndim + 1 and image.shape[-1] != 3:
             raise ValueError("`image` must be RGB")
         if image.ndim == label.ndim:
@@ -74,6 +85,13 @@ def _label2rgb_overlay(
     # map label values to color indices (host-side unique; API-level sync
     # like the reference's label handling)
     labels_np = np.asarray(label)
+    if labels_np.dtype.kind not in "iub":
+        # non-integer label fields densify through unique/inverse (the
+        # reference's rank mapping handles floats the same way)
+        uniq, inv = np.unique(labels_np, return_inverse=True)
+        hit = np.flatnonzero(uniq == bg_label)
+        bg_label = int(hit[0]) if hit.size else -1
+        labels_np = inv.reshape(labels_np.shape)
     offset = min(int(labels_np.min()), bg_label)
     if offset != 0:
         labels_np = labels_np - offset

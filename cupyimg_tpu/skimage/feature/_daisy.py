@@ -35,8 +35,9 @@ def daisy(
     """Extract DAISY feature descriptors densely (skimage parity;
     reference _daisy.py:10-263).
 
-    ``visualize=True`` is not supported (the reference delegates the
-    drawing to CPU skimage.draw).
+    ``visualize=True`` additionally returns an (M, N, 3) rendering of
+    the sampling geometry; unlike the reference (which delegates to CPU
+    skimage.draw) the AA rasterization here is first-party.
     """
     image = jnp.asarray(image)
     check_nD(image, 2, "img")
@@ -64,11 +65,6 @@ def daisy(
         ]
     if normalization not in ["l1", "l2", "daisy", "off"]:
         raise ValueError("Invalid normalization method.")
-    if visualize:
-        raise NotImplementedError(
-            "visualize=True requires CPU skimage.draw and is not "
-            "supported"
-        )
 
     # Image derivatives (forward differences, zero at the far edge).
     dx = jnp.pad(jnp.diff(image, n=1, axis=1), ((0, 0), (0, 1)))
@@ -149,4 +145,106 @@ def daisy(
                 chunks.append(dtmp / norms[:, :, None])
             descs = jnp.concatenate(chunks, axis=2)
 
+    if visualize:
+        descs_img = _render_descriptors(
+            np.asarray(image), np.asarray(descs), step, radius, sigmas,
+            ring_radii, orientation_angles, theta, rings, histograms,
+            orientations,
+        )
+        return descs, jnp.asarray(descs_img)
     return descs
+
+
+def _blend(img, ys, xs, alpha, color):
+    """Alpha-blend ``color`` into ``img`` at integer pixels, dropping
+    out-of-bounds samples (host-side; visualization only)."""
+    h, w = img.shape[:2]
+    keep = (ys >= 0) & (ys < h) & (xs >= 0) & (xs < w) & (alpha > 0)
+    ys, xs, alpha = ys[keep], xs[keep], alpha[keep][:, None]
+    img[ys, xs] = (1.0 - alpha) * img[ys, xs] + alpha * np.asarray(color)
+
+
+def _draw_circle_aa(img, cy, cx, r, color):
+    """Anti-aliased circle perimeter via a radial distance ramp
+    (first-party replacement for skimage.draw.circle_perimeter_aa)."""
+    r = max(int(r), 1)
+    yy, xx = np.mgrid[-r - 1: r + 2, -r - 1: r + 2]
+    d = np.hypot(yy, xx)
+    alpha = np.clip(1.0 - np.abs(d - r), 0.0, 1.0)
+    ys, xs = np.nonzero(alpha)
+    _blend(img, ys + cy - r - 1, xs + cx - r - 1, alpha[ys, xs], color)
+
+
+def _draw_line_aa(img, y0, x0, y1, x1, color):
+    """Anti-aliased segment via perpendicular-distance coverage
+    (first-party replacement for skimage.draw.line_aa)."""
+    ymin, ymax = sorted((y0, y1))
+    xmin, xmax = sorted((x0, x1))
+    yy, xx = np.mgrid[ymin - 1: ymax + 2, xmin - 1: xmax + 2]
+    dy, dx = y1 - y0, x1 - x0
+    L2 = float(dy * dy + dx * dx)
+    if L2 == 0:
+        d = np.hypot(yy - y0, xx - x0)
+    else:
+        t = np.clip(((yy - y0) * dy + (xx - x0) * dx) / L2, 0.0, 1.0)
+        d = np.hypot(yy - (y0 + t * dy), xx - (x0 + t * dx))
+    alpha = np.clip(1.0 - d, 0.0, 1.0)
+    ys, xs = np.nonzero(alpha)
+    _blend(img, ys + ymin - 1, xs + xmin - 1, alpha[ys, xs], color)
+
+
+def _render_descriptors(image, descs, step, radius, sigmas, ring_radii,
+                        orientation_angles, theta, rings, histograms,
+                        orientations):
+    """Render the DAISY sampling geometry like the reference
+    (_daisy.py:200-260): red center rings/bins, ring histograms in a
+    green-blue ramp, bin lines scaled by histogram mass.  The reference
+    delegates to CPU skimage.draw; here the AA rasterizers above are
+    first-party, so the visualization needs no skimage install."""
+    descs_img = np.repeat(image[:, :, None], 3, axis=2).astype(float)
+    for i in range(descs.shape[0]):
+        for j in range(descs.shape[1]):
+            color = [1, 0, 0]
+            desc_y = i * step + radius
+            desc_x = j * step + radius
+            _draw_circle_aa(
+                descs_img, desc_y, desc_x, int(sigmas[0]), color
+            )
+            max_bin = float(np.max(descs[i, j, :]))
+            if max_bin == 0:
+                max_bin = 1.0
+            for o_num, o in enumerate(orientation_angles):
+                bin_size = float(descs[i, j, o_num]) / max_bin
+                dy = sigmas[0] * bin_size * math.sin(o)
+                dx = sigmas[0] * bin_size * math.cos(o)
+                _draw_line_aa(
+                    descs_img, desc_y, desc_x,
+                    int(desc_y + dy), int(desc_x + dx), color,
+                )
+            for r_num, r in enumerate(ring_radii):
+                color_offset = float(1 + r_num) / rings
+                color = (1 - color_offset, 1, color_offset)
+                for t_num, t in enumerate(theta):
+                    hist_y = desc_y + int(round(r * math.sin(t)))
+                    hist_x = desc_x + int(round(r * math.cos(t)))
+                    _draw_circle_aa(
+                        descs_img, hist_y, hist_x,
+                        int(sigmas[r_num + 1]), color,
+                    )
+                    for o_num, o in enumerate(orientation_angles):
+                        bin_size = float(
+                            descs[
+                                i, j,
+                                orientations
+                                + r_num * histograms * orientations
+                                + t_num * orientations
+                                + o_num,
+                            ]
+                        ) / max_bin
+                        dy = sigmas[r_num + 1] * bin_size * math.sin(o)
+                        dx = sigmas[r_num + 1] * bin_size * math.cos(o)
+                        _draw_line_aa(
+                            descs_img, hist_y, hist_x,
+                            int(hist_y + dy), int(hist_x + dx), color,
+                        )
+    return descs_img
