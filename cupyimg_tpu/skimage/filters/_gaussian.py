@@ -14,6 +14,22 @@ from cupyimg_tpu.skimage._shared.utils import convert_to_float, warn
 __all__ = ["gaussian", "difference_of_gaussians"]
 
 
+def _guess_spatial_dimensions(image):
+    """Guess spatial dimensions: 2 for 2-D, 3 for plain/RGB 3-D stacks,
+    None for ambiguous (M, N, 3) (reference _gaussian.py)."""
+    if image.ndim == 2:
+        return 2
+    if image.ndim == 3 and image.shape[-1] != 3:
+        return 3
+    if image.ndim == 3 and image.shape[-1] == 3:
+        return None
+    if image.ndim == 4 and image.shape[-1] == 3:
+        return 3
+    raise ValueError(
+        "Expected 2D, 3D, or 4D array, got %iD." % image.ndim
+    )
+
+
 def gaussian(
     image, sigma=1, output=None, mode="nearest", cval=0, multichannel=None,
     preserve_range=False, truncate=4.0,
@@ -41,8 +57,14 @@ def gaussian(
         raise ValueError("Sigma values less than zero are not valid")
     image = convert_to_float(image, preserve_range)
     if output is not None and not isinstance(output, (str, np.dtype, type)):
-        raise NotImplementedError(
-            "preallocated output arrays are not supported"
+        if np.dtype(getattr(output, "dtype", np.float64)).kind not in "fc":
+            # match the reference's validation for integer outputs
+            raise ValueError(
+                "Provided output data type is not float"
+            )
+        raise ValueError(
+            "cupyimg_tpu is functional: preallocated output arrays "
+            "are not supported (pass a dtype instead)"
         )
     return ndi.gaussian_filter(
         image, sigma, output=output, mode=mode, cval=cval, truncate=truncate
