@@ -30,12 +30,19 @@ __all__ = [
 
 # direct jnp delegations (native in jax.numpy)
 gradient = _jnp.gradient
-histogram = _jnp.histogram
-histogram2d = _jnp.histogram2d
-histogramdd = _jnp.histogramdd
 ravel_multi_index = _jnp.ravel_multi_index
 apply_along_axis = _jnp.apply_along_axis
 quantile = _jnp.quantile
+
+
+# first-party numpy-parity histograms (int/complex weight dtypes, empty
+# input, monotonic-bins validation — see lib/histograms.py).  Imported after
+# the jnp delegations above so lib/__init__'s back-references resolve.
+from cupyimg_tpu.numpy.lib.histograms import (  # noqa: E402
+    histogram,
+    histogram2d,
+    histogramdd,
+)
 
 
 def ndim(a):
