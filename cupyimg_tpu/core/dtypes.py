@@ -58,7 +58,7 @@ def resolve_output_dtype(output, input_dtype, weights_dtype=None):
     ndarray as ``output`` raises.
     """
     input_dtype = np.dtype(input_dtype)
-    if isinstance(output, jnp.ndarray):
+    if isinstance(output, (np.ndarray, jnp.ndarray)):
         raise NotImplementedError(
             "cupyimg_tpu is functional: preallocated `output` arrays are not "
             "supported; pass a dtype instead"

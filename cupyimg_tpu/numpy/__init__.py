@@ -29,7 +29,6 @@ __all__ = [
 ]
 
 # direct jnp delegations (native in jax.numpy)
-gradient = _jnp.gradient
 ravel_multi_index = _jnp.ravel_multi_index
 apply_along_axis = _jnp.apply_along_axis
 quantile = _jnp.quantile
@@ -43,6 +42,10 @@ from cupyimg_tpu.numpy.lib.histograms import (  # noqa: E402
     histogram2d,
     histogramdd,
 )
+
+# first-party numpy-parity gradient (edge_order 1/2, uneven spacing,
+# numpy error classes — see lib/function_base.py)
+from cupyimg_tpu.numpy.lib.function_base import gradient  # noqa: E402
 
 
 def ndim(a):

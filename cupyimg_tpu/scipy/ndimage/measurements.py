@@ -229,6 +229,17 @@ def _norm_labels_index(input, labels, index):
     return x, labels, index, scalar
 
 
+def _reject_complex(x):
+    """scipy's stats reductions cast to float64 with 'safe' casting, so
+    complex input raises TypeError (reference measurements.py stats
+    kernels have the same restriction)."""
+    if np.dtype(x.dtype).kind == "c":
+        raise TypeError(
+            "Cannot cast array data from {} to float64 according to the "
+            "rule 'safe'".format(np.dtype(x.dtype))
+        )
+
+
 def _num_segments(labels):
     """Host sync to learn label count (the reference documents the same
     sync, measurements.py:48-50)."""
@@ -269,6 +280,7 @@ def _select_index(per_label, index, labels_given, x_sum_all):
 
 def sum(input, labels=None, index=None):
     """Sum of values per label (scipy parity)."""
+    _reject_complex(jnp.asarray(input))
     x, labels, index, scalar = _norm_labels_index(input, labels, index)
     if labels is None:
         return jnp.sum(x)
@@ -294,6 +306,7 @@ def _count_and_sum(x, labels, num_seg):
 
 def mean(input, labels=None, index=None):
     """Mean of values per label (scipy parity)."""
+    _reject_complex(jnp.asarray(input))
     x, labels, index, scalar = _norm_labels_index(input, labels, index)
     if labels is None:
         return jnp.mean(x)
@@ -314,6 +327,7 @@ def mean(input, labels=None, index=None):
 
 def variance(input, labels=None, index=None):
     """Variance of values per label (scipy parity)."""
+    _reject_complex(jnp.asarray(input))
     x, labels, index, scalar = _norm_labels_index(input, labels, index)
     if labels is None:
         return jnp.var(x)
