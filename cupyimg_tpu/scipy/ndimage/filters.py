@@ -334,10 +334,15 @@ def convolve1d(
     """1-d convolution along the given axis (scipy.ndimage.convolve1d parity)."""
     del backend
     if not crop:
-        # full convolution: flip weights, no origin games needed
+        # full convolution: flip weights, no origin games needed.  The
+        # correlate path conjugates complex weights (numpy.correlate
+        # semantics); convolution must not, so pre-conjugate to cancel.
+        w = _as_weights(weights)[::-1]
+        if np.dtype(w.dtype).kind == "c":
+            w = w.conj()
         return _correlate1d(
             input,
-            _as_weights(weights)[::-1],
+            w,
             axis,
             output,
             mode,

@@ -77,16 +77,23 @@ def _pad_1d_mode(x, npre: int, npost: int, axis: int, mode: str, cval):
         pre = take(_refl_idx(pre_idx, n)) if npre else None
         post = take(_refl_idx(post_idx, n)) if npost else None
     elif mode == "antisymmetric":
-        pre = -take(_sym_idx(pre_idx, n)) if npre else None
-        post = -take(_sym_idx(post_idx, n)) if npost else None
+        # mirror with a sign flip per reflection: value(i) =
+        # (-1)^floor(i/n) * x[sym(i)] (fast_upfirdn's anti-symmetric)
+        def _anti(idx):
+            sign = np.where(np.floor_divide(idx, n) % 2 == 0, 1.0, -1.0)
+            return take(_sym_idx(idx, n)) * _k_broadcast(
+                sign, x.ndim, axis
+            ).astype(x.dtype)
+
+        pre = _anti(pre_idx) if npre else None
+        post = _anti(post_idx) if npost else None
     elif mode == "antireflect":
-        # odd reflection about the edge value: 2*x[edge] - x[refl]
-        pre = 2 * edge_val(0) - take(_refl_idx(pre_idx, n)) if npre else None
-        post = (
-            2 * edge_val(n - 1) - take(_refl_idx(post_idx, n))
-            if npost
-            else None
-        )
+        # odd reflection about the edge values == numpy's
+        # pad(mode='reflect', reflect_type='odd'), including the offset
+        # accumulation across multiple reflection periods
+        pads = [(0, 0)] * x.ndim
+        pads[axis] = (npre, npost)
+        return jnp.pad(x, pads, mode="reflect", reflect_type="odd")
     elif mode == "smooth":
         # continue the local slope of the outermost two samples
         if n < 2:
@@ -129,7 +136,9 @@ def _refl_idx(idx, n):
 def _k_broadcast(k, ndim, axis):
     shape = [1] * ndim
     shape[axis] = len(k)
-    return jnp.asarray(k, dtype=np.float64).reshape(shape)
+    return jnp.asarray(
+        k, dtype=jax.dtypes.canonicalize_dtype(np.float64)
+    ).reshape(shape)
 
 
 @functools.partial(

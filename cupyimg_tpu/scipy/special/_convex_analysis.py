@@ -17,6 +17,10 @@ def _as_float(x):
     x = jnp.asarray(x)
     if np.dtype(x.dtype).kind != "f":
         x = x.astype(np.float64)
+    elif x.dtype == np.float16:
+        # scipy's ufuncs have only f/d loops: float16 promotes to float32
+        # (also avoids spurious overflow in the intermediate squares)
+        x = x.astype(np.float32)
     return x
 
 

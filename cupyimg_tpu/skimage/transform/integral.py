@@ -11,9 +11,20 @@ __all__ = ["integral_image", "integrate"]
 
 def integral_image(image, *, dtype=None):
     """Cumulative-sum integral image over all axes (skimage parity)."""
+    import jax
+
     image = jnp.asarray(image)
-    if dtype is None and np.dtype(image.dtype).kind == "f":
-        dtype = np.float64
+    kind = np.dtype(image.dtype).kind
+    if dtype is None and kind == "f":
+        dtype = jax.dtypes.canonicalize_dtype(np.float64)
+    elif dtype is None and kind in "bui":
+        # numpy's cumsum accumulates small integers in the platform int;
+        # jnp.cumsum keeps the input dtype, which overflows uint8 images
+        dtype = jax.dtypes.canonicalize_dtype(
+            np.int64 if kind != "u" else np.uint64
+        )
+        if np.dtype(image.dtype).itemsize >= np.dtype(dtype).itemsize:
+            dtype = None
     S = image
     for i in range(image.ndim):
         S = jnp.cumsum(S, axis=i, dtype=dtype)
