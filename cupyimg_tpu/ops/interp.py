@@ -353,6 +353,60 @@ def gather_general(x, coords, order: int, mode: str, cval):
     return out
 
 
+def gather_plane_rows(xflat, coords2, plane_shape, order: int, mode: str,
+                      cval):
+    """Interpolate a 2-axis-coupled plane with a lane-uniform batch axis.
+
+    ``xflat`` is ``(n0 * n1, B)``: the coupled plane flattened on axis 0
+    and every un-mixed (identity) axis flattened to ``B`` lanes.  Because
+    the batch coordinate is untouched by the transform, each of the
+    ``(order+1)^2`` taps is one *row* move — a ``jnp.take`` along axis 0
+    of 4*B-byte rows, which XLA lowers to plain DMA at a measured ~500
+    GB/s on v5e for B=256 — with zero within-row lane gathers.  This is
+    the fast path for ``rotate`` on volumes: the GTG kernel pays the
+    dynamic-gather unit for every tap, while the identity axis makes
+    that work unnecessary.
+
+    Semantics identical to ``gather_general`` over the two coupled axes
+    (same axis_taps / oob / cval handling); the outer mode='constant'
+    mask is the caller's job, matching the one-hot/GTG route in
+    scipy/ndimage/interpolation.py.
+
+    Reference: cupyimg/scipy/ndimage/_interp_kernels.py:277-592 (the
+    per-thread tap loop; here the batch axis amortizes it across lanes).
+    """
+    n0, n1 = plane_shape
+    B = xflat.shape[1]
+    out_shape = coords2[0].shape
+    taps0 = axis_taps(coords2[0], n0, order, mode)
+    taps1 = axis_taps(coords2[1], n1, order, mode)
+    out = None
+    for i0, w0, ob0 in taps0:
+        for i1, w1, ob1 in taps1:
+            flat = (i0 * np.int32(n1) + i1).reshape(-1)
+            vals = jnp.take(xflat, flat, axis=0)  # (P, B) row gather
+            oob = None
+            if ob0 is not None:
+                oob = ob0
+            if ob1 is not None:
+                oob = ob1 if oob is None else (oob | ob1)
+            if oob is not None:
+                vals = jnp.where(
+                    oob.reshape(-1, 1),
+                    jnp.asarray(cval, dtype=vals.dtype),
+                    vals,
+                )
+            w = None
+            if w0 is not None:
+                w = w0
+            if w1 is not None:
+                w = w1 if w is None else w * w1
+            if w is not None:
+                vals = vals * w.reshape(-1, 1).astype(vals.real.dtype)
+            out = vals if out is None else out + vals
+    return out.reshape(out_shape + (B,))
+
+
 def gather_separable(x, coords_1d, order: int, mode: str, cval):
     """Interpolate with per-axis 1-d coordinates (zoom/shift/diagonal
     affine): sequential per-axis passes, (order+1)*ndim gathers total.

@@ -591,10 +591,6 @@ def _try_batched_plane_onehot(
     kernel at integer coordinates (e.g. [1/6, 4/6, 1/6] for cubic)
     as a plain 1-D correlation of the coefficient array."""
     ndim = filtered.ndim
-    if order not in (0, 1, 3):
-        return None  # mirror the sampler's gate before any real work
-    if order > 1 and mode == "wrap":
-        return None  # legacy wrap premaps coords; sampler declines it
     coupled = [
         j
         for j in range(ndim)
@@ -655,6 +651,50 @@ def _try_batched_plane_onehot(
         for k in range(ndim)
     ]
     xs = xs[tuple(sl)]
+
+    # lane-batch row-gather fast path (ops/interp.gather_plane_rows):
+    # with a wide identity batch each of the (order+1)^2 taps is one
+    # contiguous row DMA — no dynamic lane gathers at all — measured
+    # ~4x the batched-GTG throughput for rotate() on 256^3 volumes.
+    # Handles every order and mode axis_taps does.
+    batch_elems = 1
+    for k in range(ndim):
+        if k not in (p, q):
+            batch_elems *= orig_shape[k]
+    if batch_elems >= 128:
+        arranged = jnp.moveaxis(xs, (p, q), (0, 1))
+        n0, n1 = arranged.shape[0], arranged.shape[1]
+        batch_dims = arranged.shape[2:]
+        xflat = arranged.reshape(n0 * n1, -1)
+        cdt = np.float32
+        gi = jnp.arange(output_shape[p], dtype=cdt)[:, None]
+        gj = jnp.arange(output_shape[q], dtype=cdt)[None, :]
+        # scipy's summation order: matrix terms first, offset last
+        c0 = (
+            np.asarray(sub[0, 0], cdt) * gi
+            + np.asarray(sub[0, 1], cdt) * gj
+            + np.asarray(sub_off[0] + npad, cdt)
+        )
+        c1 = (
+            np.asarray(sub[1, 0], cdt) * gi
+            + np.asarray(sub[1, 1], cdt) * gj
+            + np.asarray(sub_off[1] + npad, cdt)
+        )
+        c0 = jnp.broadcast_to(c0, (output_shape[p], output_shape[q]))
+        c1 = jnp.broadcast_to(c1, (output_shape[p], output_shape[q]))
+        out2 = interp.gather_plane_rows(
+            xflat, [c0, c1], (n0, n1), order, mode, cval
+        )
+        out = out2.reshape(
+            (output_shape[p], output_shape[q]) + batch_dims
+        )
+        return jnp.moveaxis(out, (0, 1), (p, q))
+
+    if order not in (0, 1, 3):
+        return None  # the MXU samplers below gate these orders
+    if order > 1 and mode == "wrap":
+        return None  # legacy wrap premaps coords; sampler declines it
+
     moved = jnp.moveaxis(xs, (p, q), (ndim - 2, ndim - 1))
     batch_shape = moved.shape[:-2]
     flat = moved.reshape((-1,) + moved.shape[-2:])
@@ -704,7 +744,27 @@ def _affine_plane_batched(flat, sub, sub_off, npad, order, mode, cval,
 
     coord_dtype = _coord_dtype(allow_float32)
     out2 = None
-    if coord_dtype == np.float32:  # samplers are f32-routed (see affine)
+    if coord_dtype == np.float32 and flat.shape[0] >= 128:
+        # wide batch: put it on lanes and row-gather each tap
+        # (ops/interp.gather_plane_rows) — no dynamic lane gathers
+        n0, n1 = flat.shape[1], flat.shape[2]
+        xflat = jnp.moveaxis(flat, 0, 2).reshape(n0 * n1, -1)
+        ii = jnp.arange(out_plane[0], dtype=coord_dtype)[:, None]
+        jj = jnp.arange(out_plane[1], dtype=coord_dtype)[None, :]
+        coords2 = [
+            jnp.broadcast_to(
+                np.asarray(sub[j, 0], coord_dtype) * ii
+                + np.asarray(sub[j, 1], coord_dtype) * jj
+                + np.asarray(sub_off[j] + npad, coord_dtype),
+                out_plane,
+            )
+            for j in range(2)
+        ]
+        outp = interp.gather_plane_rows(
+            xflat, coords2, (n0, n1), order, mode, cval
+        )
+        out2 = jnp.moveaxis(outp, 2, 0)  # back to (batch, H, W)
+    if out2 is None and coord_dtype == np.float32:
         out2 = gtg_interp.affine_gtg_batched2d(
             flat, sub, sub_off + npad, order, mode, cval, out_plane,
         )
