@@ -372,7 +372,7 @@ def _rank2d_flops(w0, w1, rank, npix):
 
 
 def emit(name, ms, nbytes=None, needs_complex=False, flops=None,
-         shuffle_rows=None):
+         shuffle_rows=None, model_bytes=None):
     only = os.environ.get("BENCH_SUITE_ONLY")
     if only is not None and not re.search(only, name):
         return
@@ -424,6 +424,13 @@ def emit(name, ms, nbytes=None, needs_complex=False, flops=None,
             100.0 * max(t_bw_ms, t_fl_ms) / ms, 1
         )
         rec["bound"] = "compute" if t_fl_ms > t_bw_ms else "bandwidth"
+    if model_bytes is not None and nbytes:
+        # bandwidth-bound ops whose minimal traffic exceeds in+out
+        # (tap-gather samplers): lightspeed = streaming model_bytes at
+        # measured peak
+        t_m_ms = model_bytes / 1e9 / _peak_gbps() * 1e3
+        rec["pct_lightspeed"] = round(100.0 * t_m_ms / ms, 1)
+        rec["bound"] = "bandwidth"
     if shuffle_rows is not None and nbytes:
         # gather-bound ops (interp resampling): the wall is the VPU's
         # dynamic-gather unit, not HBM or FMA throughput
@@ -636,9 +643,10 @@ def main():
             vol, n1=1, n2=13,
         ),
         nb3,
-        shuffle_rows=_gtg_shuffle_rows(
-            _rot17, 1, (256, 256), planes=256
-        ),
+        # row-gather sampler (ops/interp.gather_plane_rows): the wall is
+        # HBM tap traffic, not the lane-gather unit — 4 tap reads + 1
+        # write of the volume is the per-call floor
+        model_bytes=5 * vol.size * 4,
     )
     # host-side grid build: jnp.mgrid is a device op chain and an
     # earlier poisoned relay stream would crash the suite here
