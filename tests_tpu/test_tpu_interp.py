@@ -143,3 +143,30 @@ class TestSpline:
         want = sndi.spline_filter1d(x.astype(np.float64), order=3, axis=0,
                                     mode="mirror")
         assert_close(got, want, rtol=1e-3, atol=5e-3)
+
+
+SHAPE_3D_WIDE = (96, 100, 160)  # last axis >= 128: row-gather batch
+
+
+class TestPlaneRowGather:
+    """Lane-batch row-gather sampler (ops/interp.gather_plane_rows) on
+    the real chip: plane-coupled affines with >= 128 identity lanes."""
+
+    @pytest.mark.parametrize("order", [0, 1, 3])
+    def test_rotate_wide_batch(self, order):
+        x, xg = _smooth(SHAPE_3D_WIDE, seed=3)
+        got = ndi.rotate(xg, 19.3, axes=(0, 1), reshape=False, order=order)
+        want = sndi.rotate(x.astype(np.float64), 19.3, axes=(0, 1),
+                           reshape=False, order=order)
+        assert_close(got, want, rtol=1e-3, atol=5e-3)
+
+    @pytest.mark.parametrize("mode", ["nearest", "reflect", "grid-wrap"])
+    def test_affine_plane_modes(self, mode):
+        x, xg = _smooth(SHAPE_3D_WIDE, seed=4)
+        M = np.eye(3)
+        M[:2, :2] = MAT_2D
+        off = np.array([3.3173, -2.4111, 0.0])
+        got = ndi.affine_transform(xg, M, off, order=1, mode=mode)
+        want = sndi.affine_transform(x.astype(np.float64), M, off,
+                                     order=1, mode=mode)
+        assert_close(got, want, rtol=1e-3, atol=5e-3)
