@@ -328,6 +328,103 @@ def shift_fir(filtered, shifts, npad: int, order: int, mode: str, cval,
     return y
 
 
+def shift_spline_fused(x, shifts, order: int, mode: str, cval,
+                       interpret=False):
+    """Order >= 2 shift with the spline prefilter FUSED into the tap FIR.
+
+    The spline prefilter is a separable symmetric FIR per axis
+    (ops/iir.spline_filter_fir) and a constant-fraction shift is a
+    separable (order+1)-tap FIR per axis (``shift_fir`` above); both use
+    the same boundary extension, and for the extension-invariant mode
+    family (mirror/reflect/grid-mirror/grid-wrap — the same invariance
+    argument as ``shift_fir``'s docstring) their composition is exactly
+    one correlation with the convolved kernel.  That collapses
+    ``ndi.shift(order>=2)`` from 2-3 HBM passes (one per prefilter pole
+    + the tap FIR) into ONE fused Pallas pass: the reference runs one
+    spline-prefilter RawKernel per axis plus the gather kernel
+    (cupyimg/scipy/ndimage/interpolation.py:701-818).
+
+    The combined kernel's tails are trimmed at 3e-9 of the peak (below
+    f32 resolution of the result; the prefilter itself already
+    truncates its boundary sums at 1e-10, reference
+    _spline_prefilter_core.py:270-275).  Returns None when the path
+    does not apply (wrong backend/dtype/mode, shift too large for an
+    in-window origin, kernel longer than the engine's tap limit).
+    """
+    if order < 2 or mode not in (
+        "mirror", "reflect", "grid-mirror", "grid-wrap"
+    ):
+        return None
+    if np.dtype(x.dtype) != np.float32 or x.ndim not in (2, 3):
+        return None
+    if not interpret:
+        import jax
+
+        if jax.default_backend() != "tpu":
+            return None
+    from cupyimg_tpu.ops import pallas_stencil
+    from cupyimg_tpu.ops.iir import get_poles, _symmetric_pole_taps
+
+    # combined prefilter impulse response over all poles (f64)
+    h = np.ones(1, dtype=np.float64)
+    for z in get_poles(order):
+        nb = int(_math.ceil(_math.log(1e-10) / _math.log(abs(z))))
+        h = np.convolve(h, _symmetric_pole_taps(z, nb))
+    nh = (len(h) - 1) // 2
+
+    spline_mode = get_spline_mode(mode)
+    weights = []
+    origins = []
+    for ax in range(x.ndim):
+        c0 = -float(shifts[ax])
+        if order % 2:
+            t = c0 - _math.floor(c0)
+            base = int(_math.floor(c0)) - order // 2
+        else:
+            half = _math.floor(c0 + 0.5)
+            t = c0 - half
+            base = int(half) - order // 2
+        w = np.array(
+            [float(v) for v in spline_weights(np.float64(t), order)],
+            dtype=np.float64,
+        )
+        # tap positions: (base - nh) .. (base + order + nh)
+        g = np.convolve(h, w)
+        start = base - nh
+        keep = np.abs(g) > 3e-9 * np.abs(g).max()
+        i0 = int(np.argmax(keep))
+        i1 = len(g) - int(np.argmax(keep[::-1]))
+        g = g[i0:i1]
+        start += i0
+        # near-integer shifts collapse the composed kernel to ~a delta
+        # away from the center; pad with zero taps so the window
+        # straddles the output index (the engine requires lo, hi >= 0)
+        if start > 0:
+            g = np.concatenate([np.zeros(start), g])
+            start = 0
+        end = start + len(g) - 1
+        if end < 0:
+            g = np.concatenate([g, np.zeros(-end)])
+        size = len(g)
+        # stencil convention: tap k at i + k - size//2 - origin
+        origin = -(size // 2) - start
+        lo = size // 2 + origin
+        hi = size - 1 - lo
+        if lo < 0 or hi < 0:
+            return None  # shift too large: window does not straddle i
+        if size > 2 * x.shape[ax] or size > 64:
+            return None  # engine tap limit (pallas_stencil._MAX_TAPS)
+        weights.append(tuple(float(v) for v in g))
+        origins.append(int(origin))
+
+    if not interpret and not pallas_stencil.supports(x, weights):
+        return None
+    return pallas_stencil.fused_separable_correlate(
+        x, weights, tuple(origins), (spline_mode,) * x.ndim, float(cval),
+        interpret=interpret,
+    )
+
+
 def gather_general(x, coords, order: int, mode: str, cval):
     """Interpolate ``x`` at dense coordinates (list of ndim arrays, each of
     the output shape).  Returns the accumulated float/complex output."""

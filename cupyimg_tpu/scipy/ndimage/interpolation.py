@@ -856,6 +856,20 @@ def shift(
             mode, cval, prefilter, allow_float32=allow_float32,
         )
     out_dtype = _resolve_out_dtype(output, x)
+    if (
+        prefilter
+        and order >= 2
+        and mode in ("mirror", "reflect", "grid-mirror", "grid-wrap")
+        and _float_work_dtype(x.dtype, allow_float32) == np.float32
+    ):
+        # TPU: spline prefilter composed into the shift-tap FIR — one
+        # fused separable pass instead of per-pole prefilter passes plus
+        # the tap FIR (ops/interp.shift_spline_fused)
+        out = interp.shift_spline_fused(
+            x.astype(np.float32), shifts, order, mode, cval
+        )
+        if out is not None:
+            return _finalize(out, out_dtype)
     filtered, npad = _prefiltered(x, order, mode, cval, prefilter,
                                   allow_float32)
     out = interp.shift_fir(filtered, shifts, npad, order, mode, cval,
