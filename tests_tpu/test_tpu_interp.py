@@ -170,3 +170,42 @@ class TestPlaneRowGather:
         want = sndi.affine_transform(x.astype(np.float64), M, off,
                                      order=1, mode=mode)
         assert_close(got, want, rtol=1e-3, atol=5e-3)
+
+
+class TestFusedSplineShift:
+    """Prefilter-composed shift FIR (ops/interp.shift_spline_fused) on
+    the real chip: one fused separable Pallas pass for order >= 2."""
+
+    @pytest.mark.parametrize("order", [2, 3, 4, 5])
+    def test_orders(self, order):
+        x, xg = _smooth(SHAPE_2D)
+        got = ndi.shift(xg, (2.317, -1.411), order=order, mode="reflect")
+        want = sndi.shift(x.astype(np.float64), (2.317, -1.411),
+                          order=order, mode="reflect")
+        assert_close(got, want, rtol=1e-3, atol=5e-3)
+
+    @pytest.mark.parametrize(
+        "mode", ["mirror", "reflect", "grid-mirror", "grid-wrap"]
+    )
+    def test_modes(self, mode):
+        x, xg = _smooth(SHAPE_2D, seed=5)
+        got = ndi.shift(xg, (-7.613, 12.221), order=3, mode=mode)
+        smode = "reflect" if mode == "grid-mirror" else mode
+        want = sndi.shift(x.astype(np.float64), (-7.613, 12.221),
+                          order=3, mode=smode)
+        assert_close(got, want, rtol=1e-3, atol=5e-3)
+
+    def test_3d(self):
+        x, xg = _smooth(SHAPE_3D)
+        got = ndi.shift(xg, (1.313, -0.617, 2.911), order=3, mode="mirror")
+        want = sndi.shift(x.astype(np.float64), (1.313, -0.617, 2.911),
+                          order=3, mode="mirror")
+        assert_close(got, want, rtol=1e-3, atol=5e-3)
+
+    def test_integer_shift_delta_kernel(self):
+        # integer shifts compose to an off-center delta: exact move
+        x, xg = _smooth(SHAPE_2D, seed=6)
+        got = ndi.shift(xg, (5.0, -3.0), order=3, mode="grid-wrap")
+        want = sndi.shift(x.astype(np.float64), (5.0, -3.0), order=3,
+                          mode="grid-wrap")
+        assert_close(got, want, rtol=1e-4, atol=1e-4)
