@@ -160,8 +160,11 @@ class TestDaisy:
             feature.daisy(
                 img, sigmas=[1, 2], ring_radii=[2, 4, 6]
             )
-        with pytest.raises(NotImplementedError):
-            feature.daisy(img, visualize=True)
+        # visualize=True is implemented first-party (beyond the
+        # reference, whose cupyimg/skimage/feature/_daisy.py:52 raises):
+        # returns (descriptors, (M, N, 3) rendering)
+        descs, descs_img = feature.daisy(img, visualize=True)
+        assert descs_img.shape == img.shape + (3,)
 
     def test_sigmas_ring_radii_override(self):
         rng = np.random.RandomState(2)
