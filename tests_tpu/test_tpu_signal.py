@@ -105,3 +105,24 @@ class TestUpfirdn:
         want = ssig.convolve(x.astype(np.float64), k.astype(np.float64),
                              mode="same", method="direct")
         assert_close(got, want, rtol=1e-4, atol=1e-2)
+
+    def test_convolve_fft_1d_routes_oa(self):
+        # method='fft' on long 1-D signals rides blocked overlap-add
+        # (the full-size XLA TPU FFT measures ~100x slower at 4M pts);
+        # values must still match the plain fft result
+        x, xg = _data((300000,))
+        k, kg = _data((301,), seed=5)
+        got = sig.convolve(xg, kg, mode="same", method="fft")
+        want = ssig.convolve(x.astype(np.float64), k.astype(np.float64),
+                             mode="same", method="fft")
+        assert_close(got, want, rtol=1e-4, atol=1e-2)
+
+    def test_choose_conv_method_1d_costs(self):
+        # the 1-D direct model uses the lane-rotation per-tap cost, not
+        # the 2-D Pallas engine's: long-kernel 1-D goes to fft
+        big = jnp.zeros(1 << 22, jnp.float32)
+        k = jnp.zeros(257, jnp.float32)
+        assert sig.choose_conv_method(big, k) == "fft"
+        assert sig.choose_conv_method(
+            jnp.zeros(1000, jnp.float32), jnp.zeros(15, jnp.float32)
+        ) == "direct"
