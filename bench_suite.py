@@ -320,6 +320,34 @@ def _vpu_peak_gflops():
     return _VPU_PEAK
 
 
+_MXU_PEAK = None
+
+
+def _mxu_peak_gflops():
+    """Measured MXU bf16 matmul peak (GFLOP/s, f32 accumulation): one
+    big square XLA matmul, slope-timed.
+
+    Compute roofline for ops whose cost is MXU matmul passes, not HBM
+    traffic or VPU FMAs — the fused Pallas FFT pipeline is 3-pass-bf16
+    dense stage matmuls end to end (~6*(5a+6b) bf16 FLOPs/point for an
+    n = a*b axis), so at 4224^2 the MXU, not HBM, is its wall."""
+    global _MXU_PEAK
+    if _MXU_PEAK is None:
+        M = 4096
+        x = jnp.asarray(
+            np.random.RandomState(11).randn(M, M).astype(jnp.bfloat16)
+        )
+
+        def _mm(v):
+            return jax.lax.dot(
+                v, x, preferred_element_type=jnp.float32
+            ).astype(jnp.bfloat16)
+
+        ms = _slope_ms(_mm, x, n1=2, n2=10)
+        _MXU_PEAK = 2 * M**3 / 1e6 / ms  # GFLOP/s
+    return _MXU_PEAK
+
+
 _COMPLEX_OK = None
 
 
@@ -372,7 +400,7 @@ def _rank2d_flops(w0, w1, rank, npix):
 
 
 def emit(name, ms, nbytes=None, needs_complex=False, flops=None,
-         shuffle_rows=None, model_bytes=None):
+         shuffle_rows=None, model_bytes=None, mxu_flops=None):
     only = os.environ.get("BENCH_SUITE_ONLY")
     if only is not None and not re.search(only, name):
         return
@@ -431,6 +459,15 @@ def emit(name, ms, nbytes=None, needs_complex=False, flops=None,
         t_m_ms = model_bytes / 1e9 / _peak_gbps() * 1e3
         rec["pct_lightspeed"] = round(100.0 * t_m_ms / ms, 1)
         rec["bound"] = "bandwidth"
+    if mxu_flops is not None and nbytes:
+        # MXU-matmul-bound ops (fused Pallas FFT): the wall is bf16
+        # matmul throughput, not HBM or the VPU
+        t_bw_ms = nbytes / 1e9 / _peak_gbps() * 1e3
+        t_mx_ms = mxu_flops / 1e6 / _mxu_peak_gflops()
+        rec["pct_lightspeed"] = round(
+            100.0 * max(t_bw_ms, t_mx_ms) / ms, 1
+        )
+        rec["bound"] = "mxu" if t_mx_ms > t_bw_ms else "bandwidth"
     if shuffle_rows is not None and nbytes:
         # gather-bound ops (interp resampling): the wall is the VPU's
         # dynamic-gather unit, not HBM or FMA throughput
@@ -677,12 +714,26 @@ def main():
 
     # --- FFT / signal suite ------------------------------------------------
     k2 = jnp.asarray(rng.randn(31, 31).astype(np.float32))
+
+    def _fftconv_mxu_flops(n_img, n_ker):
+        """bf16 MXU FLOPs of the fused-FFT conv pipeline (small-kernel
+        path): real-in forward (2a+3b, 3a+3b per point), product-fused
+        real-out inverse (3a+3b, 2a+3b), each f32 dot = 3 bf16 passes
+        (ops/pallas_fft.py) -> 6*(5a+6b) bf16 FLOPs/point/axis."""
+        from cupyimg_tpu.ops.permfft import _split
+        from cupyimg_tpu.scipy.signal import next_fast_len
+
+        n = next_fast_len(n_img + n_ker - 1)
+        a, b = _split(n)
+        return 6 * 2 * (5 * a + 6 * b) * n * n
+
+    _fftc_fl = _fftconv_mxu_flops(4096, 31)
     emit("fftconvolve_2d_4096_k31",
          lambda: _slope_ms(lambda v: signal.fftconvolve(v, k2, mode="same"),
-                   img, n1=2, n2=14), nb2)
+                   img, n1=2, n2=14), nb2, mxu_flops=_fftc_fl)
     emit("oaconvolve_2d_4096_k31",
          lambda: _slope_ms(lambda v: signal.oaconvolve(v, k2, mode="same"),
-                   img, n1=2, n2=14), nb2)
+                   img, n1=2, n2=14), nb2, mxu_flops=_fftc_fl)
     sig = jnp.asarray(rng.randn(1 << 20).astype(np.float32))
     h = jnp.asarray(rng.randn(101).astype(np.float32))
     long1d = jnp.asarray(rng.randn(1 << 22).astype(np.float32))

@@ -37,8 +37,26 @@ half of their first / last stage.
 The reference delegates this layer to cuFFT plans
 (cupyimg/scipy/signal/signaltools.py:437-504); XLA's TPU FFT — the
 drop-in alternative — measures a flat ~28 GB/s effective on v5e, which
-this kernel beats by fusing the whole transform into one
-bandwidth-bound pass.
+this kernel beats by fusing the whole transform into one pass.
+
+Measured tuning notes (v5e, 4224^2 f32, round 5): at this size the
+pass is MXU-bound, not HBM-bound — a 2-pass transform is ~100 GFLOP
+of 3-pass-bf16 stage matmuls (6*(5a+6b) bf16 FLOPs/point) against a
+~500 MB traffic floor.  A/B results, kept as env knobs:
+
+- complex-matmul form (CUPYIMG_TPU_FFT_CMUL): Karatsuba (3 dots,
+  3 hi/lo data splits) beats the 4-matmul form (4 dots, 2 splits):
+  fwd 1.33 vs 1.50 ms, inv 1.73 vs 1.81 ms — MXU passes cost more
+  than the extra VPU split.
+- column block (CUPYIMG_TPU_FFT_BC): 128 is right; 384 exceeds the
+  Mosaic VMEM budget at this size and fails to compile.
+- factor split: (a, b) = (33, 128) is right; (66, 64) runs the
+  forward pathologically slow (10 ms) despite 23 % fewer MACs, and
+  (132, 32) loses both directions — sub-128 fast factors waste MXU
+  lanes.
+- the inverse 1/(n0*n1) normalization folds into the (exact f32,
+  elementwise) twiddle stage — removing the trailing full-plane XLA
+  multiply saved ~0.2 ms on the inverse.
 """
 
 from __future__ import annotations
@@ -67,6 +85,12 @@ def fft2_applies(n0: int, n1: int) -> bool:
 
 _VMEM_LIMIT = 96 * 1024 * 1024
 _LANE = 128
+
+import os as _os
+
+# Complex-matmul strategy: Karatsuba (3 real dots, 3 hi/lo data splits)
+# or the 4-matmul form (4 real dots, 2 splits); see _cmatmul.
+_CMUL = _os.environ.get("CUPYIMG_TPU_FFT_CMUL", "karatsuba")
 
 
 def _hilo(m):
@@ -149,6 +173,14 @@ def _cmatmul(w_triple, x_pair, dims, w_lhs=True, exact=False):
     if xi is None:
         return d(xr_s, wr), d(xr_s, wi)
     xi_s = _hilo(xi)
+    if _CMUL == "four":
+        # 4-matmul complex product: 12 bf16 MXU passes vs Karatsuba's
+        # 9, but only two runtime hi/lo data splits instead of three —
+        # wins when the pass is VPU-split-bound rather than MXU-bound
+        return (
+            d(xr_s, wr) - d(xi_s, wi),
+            d(xr_s, wi) + d(xi_s, wr),
+        )
     m1 = d(xr_s, wr)
     m2 = d(xi_s, wi)
     m3 = d(_hilo(xr + xi), ws)
@@ -212,8 +244,12 @@ _SLOW_VARIANTS = ("batched", "transpose")
 
 
 @functools.lru_cache(maxsize=None)
-def _weights_last(n: int, inverse: bool, G: int, variant: str):
+def _weights_last(n: int, inverse: bool, G: int, variant: str,
+                  scale: float = 1.0):
     a, b, Wa, tw, Wb = _stage_factors(n, inverse)
+    # inverse 1/n normalization folds into the (exact, f32, elementwise)
+    # twiddle multiply between the stages — no trailing HBM pass
+    tw = tw * scale
     if variant == "batched":
         slow = _pack(np.tile(Wa[None], (G, 1, 1)))  # (g, j1, k1) lhs
     else:  # transpose: rhs of (G*b, k1) @ (k1, j1)
@@ -228,8 +264,9 @@ def _weights_last(n: int, inverse: bool, G: int, variant: str):
 
 
 @functools.lru_cache(maxsize=None)
-def _weights_first(n: int, inverse: bool):
+def _weights_first(n: int, inverse: bool, scale: float = 1.0):
     a, b, Wa, tw, Wb = _stage_factors(n, inverse)
+    tw = tw * scale  # see _weights_last: folded 1/n normalization
     return {
         "slow": _pack(Wa.T),  # (j1, k1) single matmul on merged minors
         "fast": _pack(np.tile(Wb.T[None], (a, 1, 1))),  # (a, j2, k2)
@@ -452,17 +489,19 @@ def _pallas(kernel, grid, in_arrays, in_specs, out_shapes, out_specs,
     )(*in_arrays)
 
 
-def _fft_last(xr, xi, n, inverse, real_out, interpret, mul_pair=None):
+def _fft_last(xr, xi, n, inverse, real_out, interpret, mul_pair=None,
+              scale=1.0):
     """Transform the last axis; xr/xi shaped (..., n).  ``mul_pair``
     folds a pointwise complex product into the pass (see
-    _kernel_last)."""
+    _kernel_last); ``scale`` folds a constant factor into the twiddle
+    stage (the inverse 1/n normalization rides for free)."""
     lead = xr.shape[:-1]
     R = int(np.prod(lead)) if lead else 1
     a, b = _split(n)
     G = _choose_G(R, a, b)
     grid = (pl.cdiv(R, G),)
     variant = SLOW_VARIANT
-    W = _weights_last(n, inverse, G, variant)
+    W = _weights_last(n, inverse, G, variant, float(scale))
     real_in = xi is None
     if mul_pair is not None and real_in:
         raise ValueError("mul_pair requires complex input")
@@ -506,17 +545,22 @@ def _fft_last(xr, xi, n, inverse, real_out, interpret, mul_pair=None):
 
 
 def _fft_first(xr, xi, n, inverse, real_out, interpret,
-               transpose_out=False, mul_pair=None):
+               transpose_out=False, mul_pair=None, scale=1.0):
     """Transform axis 0 of (n, C) views, with an optional folded
     leading batch:  xr/xi shaped (L, n, C).  ``transpose_out`` makes
     the kernel write (L, C, n) instead — the fused-transpose pass of
     the 2-D pipeline.  ``mul_pair=(mr, mi)`` (same shape) folds a
-    pointwise complex product into the pass before the transform."""
+    pointwise complex product into the pass before the transform;
+    ``scale`` folds a constant factor into the twiddle stage."""
     L, _, C = xr.shape
     a, b = _split(n)
-    BC = _LANE if C % _LANE == 0 or C > _LANE else C
+    # wider column blocks give the a-batched fast-stage matmuls longer
+    # lane extents (fewer, larger MXU dispatches); tunable for perf A/B
+    BC = int(_os.environ.get("CUPYIMG_TPU_FFT_BC", "128"))
+    if C <= BC:
+        BC = _LANE if C % _LANE == 0 or C > _LANE else C
     grid = (L, pl.cdiv(C, BC))
-    W = _weights_first(n, inverse)
+    W = _weights_first(n, inverse, float(scale))
     real_in = xi is None
     if mul_pair is not None and real_in:
         raise ValueError("mul_pair requires complex input")
@@ -590,14 +634,14 @@ def fft2(xr, xi, inverse=False, real_out=False, interpret=False,
         )
     r, i = _fft_first(r, i, n0, inverse, False, interpret,
                       transpose_out=True, mul_pair=mul3)
+    # inverse 1/(n0*n1) normalization rides the second pass's twiddle
+    # stage for free instead of a trailing full-plane XLA multiply
+    # (~0.2 ms on a 4224^2 spectrum on v5e)
     r, i = _fft_first(r, i, n1, inverse, real_out, interpret,
-                      transpose_out=True)
+                      transpose_out=True,
+                      scale=1.0 / (n0 * n1) if inverse else 1.0)
     r = r.reshape(lead + (n0, n1))
     i = None if i is None else i.reshape(lead + (n0, n1))
-    if inverse:
-        s = np.float32(1.0 / (n0 * n1))
-        r = r * s
-        i = None if i is None else i * s
     return r, i
 
 
@@ -616,13 +660,14 @@ def fft_axis(xr, xi, axis, inverse=False, real_out=False, interpret=False,
     """
     ax = axis % xr.ndim
     n = int(xr.shape[ax])
-    scale = np.float32(1.0 / n) if inverse else None
+    # inverse 1/n normalization folds into the kernel's twiddle stage
+    scale = 1.0 / n if inverse else 1.0
     if mul is not None:
         mul = tuple(jnp.broadcast_to(m, xr.shape) for m in mul)
 
     if ax == xr.ndim - 1:
         rr, ri = _fft_last(xr, xi, n, inverse, real_out, interpret,
-                           mul_pair=mul)
+                           mul_pair=mul, scale=scale)
     else:
         lead = xr.shape[:ax]
         L = int(np.prod(lead)) if lead else 1
@@ -637,10 +682,8 @@ def fft_axis(xr, xi, axis, inverse=False, real_out=False, interpret=False,
             mul_pair=None if mul is None else tuple(
                 m.reshape(L, n, C) for m in mul
             ),
+            scale=scale,
         )
         rr = rr.reshape(xr.shape)
         ri = None if ri is None else ri.reshape(xr.shape)
-    if scale is not None:
-        rr = rr * scale
-        ri = None if ri is None else ri * scale
     return rr, ri
