@@ -721,7 +721,7 @@ def main():
         real-out inverse (3a+3b, 2a+3b), each f32 dot = 3 bf16 passes
         (ops/pallas_fft.py) -> 6*(5a+6b) bf16 FLOPs/point/axis."""
         from cupyimg_tpu.ops.permfft import _split
-        from cupyimg_tpu.scipy.signal import next_fast_len
+        from cupyimg_tpu.scipy.signal.signaltools import next_fast_len
 
         n = next_fast_len(n_img + n_ker - 1)
         a, b = _split(n)

@@ -40,6 +40,7 @@ __all__ = [
     "fused_rank_filter",
     "fused_separable_correlate",
     "fused_separable_minmax",
+    "fused_separable_open_close",
     "supports",
     "supports_dense",
     "supports_rank",
@@ -726,7 +727,8 @@ def _lane_unroll(v, amt, interpret):
 
 
 def _make_kernel_3d(sp0, sp1, sp2, S2, B0, B1, sl0, sl1,
-                    lane_roll=0, interpret=False):
+                    lane_roll=0, interpret=False, sps2=None,
+                    exts2=(0, 0, 0)):
     def kernel(x_any, out_ref, slab, sem):
         # double-buffered halo'd slab loads: kick off the next grid
         # step's DMA before waiting on this step's
@@ -764,27 +766,34 @@ def _make_kernel_3d(sp0, sp1, sp2, S2, B0, B1, sl0, sl1,
         dma(t, slot).wait()
 
         x = _lane_unroll(slab[slot], lane_roll, interpret)
+        # stage-1 keeps the stage-2 halo (exts2) on each filtered axis;
+        # single-stage runs have exts2 == 0 everywhere
+        e0, e1, e2 = exts2
         acc = (
-            _axis_apply_arr(sp0, x, 0, B0)
+            _axis_apply_arr(sp0, x, 0, B0 + e0)
             if sp0 is not None else x
         )
         acc1 = (
-            _axis_apply_arr(sp1, acc, 1, B1)
+            _axis_apply_arr(sp1, acc, 1, B1 + e1)
             if sp1 is not None else acc
         )
         # no lane-axis filter: the slab is still lane-padded to a full
         # 128-lane extent — slice back to the output block width
         out = (
-            _axis_apply_arr(sp2, acc1, 2, S2)
-            if sp2 is not None else acc1[:, :, :S2]
+            _axis_apply_arr(sp2, acc1, 2, S2 + e2)
+            if sp2 is not None else acc1[:, :, :S2 + e2]
         )
+        if sps2 is not None:
+            for ax, (sb, ln) in enumerate(zip(sps2, (B0, B1, S2))):
+                if sb is not None:
+                    out = _axis_apply_arr(sb, out, ax, ln)
         out_ref[:] = out.astype(out_ref.dtype)
 
     return kernel
 
 
 def _make_kernel_2d(sp0, sp1, S1, B0, sl0, lane_roll=0,
-                    interpret=False):
+                    interpret=False, sps2=None, exts2=(0, 0)):
     def kernel(x_any, out_ref, slab, sem):
         t = jnp.asarray(pl.program_id(0), jnp.int32)
         n_t = jnp.asarray(pl.num_programs(0), jnp.int32)
@@ -810,16 +819,21 @@ def _make_kernel_2d(sp0, sp1, S1, B0, sl0, lane_roll=0,
         dma(t, slot).wait()
 
         x = _lane_unroll(slab[slot], lane_roll, interpret)
+        e0, e1 = exts2
         acc = (
-            _axis_apply_arr(sp0, x, 0, B0)
+            _axis_apply_arr(sp0, x, 0, B0 + e0)
             if sp0 is not None else x
         )
         # no lane-axis filter: the slab is still lane-padded to a full
         # 128-lane extent — slice back to the output block width
         out = (
-            _axis_apply_arr(sp1, acc, 1, S1)
-            if sp1 is not None else acc[:, :S1]
+            _axis_apply_arr(sp1, acc, 1, S1 + e1)
+            if sp1 is not None else acc[:, :S1 + e1]
         )
+        if sps2 is not None:
+            for ax, (sb, ln) in enumerate(zip(sps2, (B0, S1))):
+                if sb is not None:
+                    out = _axis_apply_arr(sb, out, ax, ln)
         out_ref[:] = out.astype(out_ref.dtype)
 
     return kernel
@@ -868,6 +882,36 @@ def fused_separable_minmax(
     )
 
 
+def fused_separable_open_close(
+    x, sizes, origins1, origins2, modes, cval=0.0, opening=True,
+    interpret=False,
+):
+    """Grey opening/closing over a flat rectangular footprint in ONE
+    fused Pallas pass: the min and max stages share a single halo'd
+    slab load instead of two whole-volume HBM round trips (the
+    reference chains two full filter calls —
+    cupyimg/scipy/ndimage/morphology.py:929-989).
+
+    Exactness requires boundary extension to commute with the stage-1
+    filter over the pad region: symmetric windows (odd size, origin 0)
+    under reflect/mirror/grid-mirror, or any window under
+    wrap/grid-wrap.  The morphology driver gates on exactly that.
+    """
+    k1, k2 = ("min", "max") if opening else ("max", "min")
+    specs1 = tuple(
+        None if (sz is None or sz <= 1) else (k1, int(sz))
+        for sz in sizes
+    )
+    specs2 = tuple(
+        None if (sz is None or sz <= 1) else (k2, int(sz))
+        for sz in sizes
+    )
+    return _fused_separable(
+        x, specs1, tuple(origins1), tuple(modes), float(cval),
+        bool(interpret), specs2=specs2, origins2=tuple(origins2),
+    )
+
+
 def _spec_size(spec):
     return len(spec[1]) if spec[0] == "corr" else spec[1]
 
@@ -876,12 +920,15 @@ def _spec_size(spec):
     jax.jit,
     static_argnames=(
         "specs", "origins", "modes", "cval", "interpret",
+        "specs2", "origins2",
     ),
 )
-def _fused_separable(x, specs, origins, modes, cval, interpret):
+def _fused_separable(x, specs, origins, modes, cval, interpret,
+                     specs2=None, origins2=None):
     ndim = x.ndim
     dtype = x.dtype
     shape = x.shape
+    two_stage = specs2 is not None
 
     # lane-axis correlation as a banded-matrix MXU matmul: no lane halo
     # (which would round the slab to full 128-lane tiles) and no lane
@@ -889,6 +936,7 @@ def _fused_separable(x, specs, origins, modes, cval, interpret):
     # matrix because 1-D boundary extension is linear
     lane_mm = (
         ndim == 3
+        and not two_stage
         and specs[2] is not None
         and specs[2][0] == "corr"
         and shape[2] <= 768
@@ -900,13 +948,28 @@ def _fused_separable(x, specs, origins, modes, cval, interpret):
     # (gaussian sigma=3 ran at 85 GB/s vs uniform size=7 at 286 GB/s)
     lane_mm2 = (
         ndim == 2
+        and not two_stage
         and specs[1] is not None
         and specs[1][0] == "corr"
         and np.dtype(dtype) == np.float32
         and _LANE_MM2_MIN_TAPS <= len(specs[1][1]) <= 96
     )
 
-    # per-axis (lo, hi) boundary extension: scipy window convention
+    def _window(spec, origin):
+        if spec is None:
+            return (0, 0)
+        size = _spec_size(spec)
+        lo = size // 2 + origin
+        hi = size - 1 - lo
+        if lo < 0 or hi < 0:
+            raise ValueError("fused path requires in-window origins")
+        return (lo, hi)
+
+    # per-axis (lo, hi) boundary extension: scipy window convention.
+    # Two-stage (opening/closing) runs accumulate both stages' windows
+    # into one pad — exact whenever extension commutes with the stage-1
+    # filter over the pad region (symmetric windows under the symmetric
+    # modes, any window under wrap; the caller gates this).
     pads = []
     halos = []
     for ax in range(ndim):
@@ -915,15 +978,13 @@ def _fused_separable(x, specs, origins, modes, cval, interpret):
             pads.append((0, 0))
             halos.append(0)
         else:
-            size = _spec_size(spec)
-            lo = size // 2 + origins[ax]
-            hi = size - 1 - lo
-            if lo < 0 or hi < 0:
-                raise ValueError(
-                    "fused path requires in-window origins"
-                )
+            lo, hi = _window(spec, origins[ax])
+            if two_stage:
+                lo2, hi2 = _window(specs2[ax], origins2[ax])
+                lo += lo2
+                hi += hi2
             pads.append((lo, hi))
-            halos.append(size - 1)
+            halos.append(lo + hi)
 
     # lane axis: halo'd extent rounded up to full 128-lane tiles
     lane_lo, lane_hi = pads[-1]
@@ -994,6 +1055,7 @@ def _fused_separable(x, specs, origins, modes, cval, interpret):
     # (non-linear, so no banded matrix exists) and small-tap correlations
     if (
         ndim == 3
+        and not two_stage
         and shape[2] >= 128
         and shape[2] % 128 == 0
         and np.dtype(dtype).itemsize == 4
@@ -1188,12 +1250,19 @@ def _fused_separable(x, specs, origins, modes, cval, interpret):
         )(xp, jnp.asarray(Bmat), jnp.asarray(crow[None, :]))
         return out[: shape[0], : shape[1], : shape[2]]
 
+    exts2 = tuple(
+        (_spec_size(specs2[ax]) - 1)
+        if (two_stage and specs2[ax] is not None)
+        else 0
+        for ax in range(ndim)
+    )
     if ndim == 3:
         B0, B1 = blocks
         kernel = _make_kernel_3d(
             specs[0], specs[1], specs[2], shape[2],
             B0, B1, slabs[0], slabs[1],
             lane_roll=lane_roll, interpret=interpret,
+            sps2=specs2, exts2=exts2,
         )
         out = pl.pallas_call(
             kernel,
@@ -1256,6 +1325,7 @@ def _fused_separable(x, specs, origins, modes, cval, interpret):
         kernel = _make_kernel_2d(
             specs[0], specs[1], shape[1], B0, slabs[0],
             lane_roll=lane_roll, interpret=interpret,
+            sps2=specs2, exts2=exts2,
         )
         out = pl.pallas_call(
             kernel,

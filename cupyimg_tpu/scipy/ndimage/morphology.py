@@ -398,11 +398,73 @@ def grey_dilation(
     )
 
 
+def _try_fused_open_close(
+    input, size, footprint, structure, mode, cval, origin, axes, opening
+):
+    """One-pass Pallas opening/closing for flat rectangular footprints.
+
+    Applies only where the fusion is exact (see
+    ops/pallas_stencil.fused_separable_open_close): symmetric windows
+    (odd size, origin 0) under the symmetric boundary modes, or any
+    window under wrap.  Returns None when the two-call path must run.
+    """
+    if footprint is not None or structure is not None or size is None:
+        return None
+    input = jnp.asarray(input)
+    if np.dtype(input.dtype).kind != "f":
+        return None
+    ndim = input.ndim
+    size, footprint, structure, origin = _grey_axes_args(
+        input, size, footprint, structure, origin, axes
+    )
+    if footprint is not None or structure is not None:
+        return None
+    sizes = util.fix_sequence_arg(size, ndim, "size", int)
+    origins = util.fix_sequence_arg(origin, ndim, "origin", int)
+    modes = util.fix_sequence_arg(mode, ndim, "mode", str)
+    for sz, o, m in zip(sizes, origins, modes):
+        if sz <= 1:
+            continue
+        if m in ("wrap", "grid-wrap"):
+            continue
+        if sz % 2 == 0 or o != 0:
+            return None
+        if m not in ("reflect", "mirror", "grid-mirror"):
+            return None
+    from cupyimg_tpu.ops import pallas_stencil as _ps
+
+    if not _ps.supports(
+        input, [(1.0,) * sz if sz > 1 else None for sz in sizes]
+    ):
+        return None
+    # the dilation stage mirrors the (symmetric, rectangular) footprint
+    # and negates origins with the even-size shift (see grey_dilation);
+    # under the non-wrap gate (odd sizes, origin 0) this is the identity
+    o_ero = tuple(origins)
+    o_dil = tuple(
+        -o - 1 if sz % 2 == 0 else -o for o, sz in zip(origins, sizes)
+    )
+    o1, o2 = (o_ero, o_dil) if opening else (o_dil, o_ero)
+    return _ps.fused_separable_open_close(
+        input, tuple(sizes), o1, o2, tuple(modes), float(cval),
+        opening=opening,
+    )
+
+
 def grey_opening(
     input, size=None, footprint=None, structure=None, output=None,
     mode="reflect", cval=0.0, origin=0, *, axes=None,
 ):
     """Grey opening: dilation of the erosion (scipy parity)."""
+    fused = _try_fused_open_close(
+        input, size, footprint, structure, mode, cval, origin, axes,
+        opening=True,
+    )
+    if fused is not None:
+        out_dtype = dtypes.resolve_output_dtype(
+            output, jnp.asarray(input).dtype
+        )
+        return fused.astype(out_dtype)
     tmp = grey_erosion(
         input, size, footprint, structure, None, mode, cval, origin,
         axes=axes,
@@ -418,6 +480,15 @@ def grey_closing(
     mode="reflect", cval=0.0, origin=0, *, axes=None,
 ):
     """Grey closing: erosion of the dilation (scipy parity)."""
+    fused = _try_fused_open_close(
+        input, size, footprint, structure, mode, cval, origin, axes,
+        opening=False,
+    )
+    if fused is not None:
+        out_dtype = dtypes.resolve_output_dtype(
+            output, jnp.asarray(input).dtype
+        )
+        return fused.astype(out_dtype)
     tmp = grey_dilation(
         input, size, footprint, structure, None, mode, cval, origin,
         axes=axes,

@@ -383,3 +383,96 @@ class TestConstantCvalFusedGate:
         params_ok = [(ax, smooth, "constant", 0.0, 0) for ax in range(3)]
         # reaches supports() (returns None on CPU for backend, not sum)
         assert _try_fused_separable(x, params_ok, np.float32) is None
+
+
+class TestFusedOpenClose:
+    """Two-stage (min-then-max) fused pass vs scipy's chained calls."""
+
+    @staticmethod
+    def _oracle(opening):
+        return sndi.grey_opening if opening else sndi.grey_closing
+
+    @pytest.mark.parametrize("opening", [True, False])
+    @pytest.mark.parametrize("mode", ["reflect", "mirror", "grid-mirror"])
+    def test_2d_symmetric(self, opening, mode):
+        from cupyimg_tpu.ops.pallas_stencil import (
+            fused_separable_open_close,
+        )
+
+        x = np.random.RandomState(0).rand(40, 52).astype(np.float32)
+        got = np.asarray(
+            fused_separable_open_close(
+                jnp.asarray(x), (5, 3), (0, 0), (0, 0), (mode,) * 2,
+                opening=opening, interpret=True,
+            )
+        )
+        smode = "reflect" if mode == "grid-mirror" else mode
+        exp = self._oracle(opening)(x, size=(5, 3), mode=smode)
+        np.testing.assert_array_equal(got, exp)
+
+    @pytest.mark.parametrize("opening", [True, False])
+    def test_3d_mixed_sizes(self, opening):
+        from cupyimg_tpu.ops.pallas_stencil import (
+            fused_separable_open_close,
+        )
+
+        x = np.random.RandomState(1).rand(24, 20, 40).astype(np.float32)
+        got = np.asarray(
+            fused_separable_open_close(
+                jnp.asarray(x), (3, 1, 5), (0, 0, 0), (0, 0, 0),
+                ("reflect",) * 3, opening=opening, interpret=True,
+            )
+        )
+        exp = self._oracle(opening)(x, size=(3, 1, 5), mode="reflect")
+        np.testing.assert_array_equal(got, exp)
+
+    @pytest.mark.parametrize("opening", [True, False])
+    def test_2d_wrap_even_sizes_origins(self, opening):
+        # wrap is exact for ANY window: even sizes and nonzero origins
+        # exercise the dilation stage's negated-origin bookkeeping
+        from cupyimg_tpu.ops.pallas_stencil import (
+            fused_separable_open_close,
+        )
+
+        x = np.random.RandomState(2).rand(40, 52).astype(np.float32)
+        sizes, o_ero = (4, 6), (1, -2)
+        o_dil = tuple(
+            -o - 1 if sz % 2 == 0 else -o
+            for o, sz in zip(o_ero, sizes)
+        )
+        o1, o2 = (o_ero, o_dil) if opening else (o_dil, o_ero)
+        got = np.asarray(
+            fused_separable_open_close(
+                jnp.asarray(x), sizes, o1, o2, ("wrap", "grid-wrap"),
+                opening=opening, interpret=True,
+            )
+        )
+        e = sndi.minimum_filter if opening else sndi.maximum_filter
+        d = sndi.maximum_filter if opening else sndi.minimum_filter
+        tmp = e(x, size=sizes, mode=("wrap", "grid-wrap"), origin=o1)
+        exp = d(tmp, size=sizes, mode=("wrap", "grid-wrap"), origin=o2)
+        np.testing.assert_array_equal(got, exp)
+
+    def test_driver_gate_declines_asymmetric(self):
+        # nearest/constant extension does not commute with the stage-1
+        # filter; the morphology driver must decline the fused path
+        from cupyimg_tpu.scipy.ndimage.morphology import (
+            _try_fused_open_close,
+        )
+
+        x = jnp.asarray(
+            np.random.RandomState(3).rand(32, 32).astype(np.float32)
+        )
+        assert _try_fused_open_close(
+            x, 5, None, None, "nearest", 0.0, 0, None, True
+        ) is None
+        assert _try_fused_open_close(
+            x, 5, None, None, "constant", 0.0, 0, None, True
+        ) is None
+        # even size / nonzero origin under reflect: also declined
+        assert _try_fused_open_close(
+            x, 4, None, None, "reflect", 0.0, 0, None, True
+        ) is None
+        assert _try_fused_open_close(
+            x, 5, None, None, "reflect", 0.0, 1, None, True
+        ) is None
