@@ -562,6 +562,9 @@ def main():
          lambda: _slope_ms(lambda v: ndi.binary_opening(v), bin_img), nb2 // 4)
     emit("grey_opening_2d_4096_s5",
          lambda: _slope_ms(lambda v: ndi.grey_opening(v, size=5), img), nb2)
+    emit("morph_gradient_2d_4096_s5",
+         lambda: _slope_ms(
+             lambda v: ndi.morphological_gradient(v, size=5), img), nb2)
     emit("percentile_filter_2d_4096_p30_s5",
          lambda: _slope_ms(lambda v: ndi.percentile_filter(v, 30, size=5), img),
          nb2, flops=_rank2d_flops(5, 5, 7, img.size))

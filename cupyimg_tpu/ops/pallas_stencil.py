@@ -40,6 +40,7 @@ __all__ = [
     "fused_rank_filter",
     "fused_separable_correlate",
     "fused_separable_minmax",
+    "fused_separable_morph_pair",
     "fused_separable_open_close",
     "supports",
     "supports_dense",
@@ -726,9 +727,23 @@ def _lane_unroll(v, amt, interpret):
     return pltpu.roll(v, amt, v.ndim - 1)
 
 
+def _pair_combine_out(pair, x, chains, lens):
+    """Combine the min/max chains of a pair-fused kernel: ``grad`` =
+    max - min, ``laplace`` = max + min - 2x (x = the interior block,
+    sliced at each axis's static window-lo offset)."""
+    combine, *los = pair
+    mn, mx = chains
+    if combine == "grad":
+        return mx - mn
+    idx = tuple(
+        slice(lo, lo + ln) for lo, ln in zip(los, lens)
+    )
+    return mx + mn - 2.0 * x[idx]
+
+
 def _make_kernel_3d(sp0, sp1, sp2, S2, B0, B1, sl0, sl1,
                     lane_roll=0, interpret=False, sps2=None,
-                    exts2=(0, 0, 0)):
+                    exts2=(0, 0, 0), pair=None):
     def kernel(x_any, out_ref, slab, sem):
         # double-buffered halo'd slab loads: kick off the next grid
         # step's DMA before waiting on this step's
@@ -767,23 +782,31 @@ def _make_kernel_3d(sp0, sp1, sp2, S2, B0, B1, sl0, sl1,
 
         x = _lane_unroll(slab[slot], lane_roll, interpret)
         # stage-1 keeps the stage-2 halo (exts2) on each filtered axis;
-        # single-stage runs have exts2 == 0 everywhere
+        # single-stage and pair runs have exts2 == 0 everywhere
         e0, e1, e2 = exts2
-        acc = (
-            _axis_apply_arr(sp0, x, 0, B0 + e0)
-            if sp0 is not None else x
-        )
-        acc1 = (
-            _axis_apply_arr(sp1, acc, 1, B1 + e1)
-            if sp1 is not None else acc
-        )
-        # no lane-axis filter: the slab is still lane-padded to a full
-        # 128-lane extent — slice back to the output block width
-        out = (
-            _axis_apply_arr(sp2, acc1, 2, S2 + e2)
-            if sp2 is not None else acc1[:, :, :S2 + e2]
-        )
-        if sps2 is not None:
+
+        def chain(s0, s1, s2):
+            acc = (
+                _axis_apply_arr(s0, x, 0, B0 + e0)
+                if s0 is not None else x
+            )
+            acc1 = (
+                _axis_apply_arr(s1, acc, 1, B1 + e1)
+                if s1 is not None else acc
+            )
+            # no lane-axis filter: the slab is still lane-padded to a
+            # full 128-lane extent — slice back to the block width
+            return (
+                _axis_apply_arr(s2, acc1, 2, S2 + e2)
+                if s2 is not None else acc1[:, :, :S2 + e2]
+            )
+
+        out = chain(sp0, sp1, sp2)
+        if pair is not None:
+            out = _pair_combine_out(
+                pair, x, (out, chain(*sps2)), (B0, B1, S2)
+            )
+        elif sps2 is not None:
             for ax, (sb, ln) in enumerate(zip(sps2, (B0, B1, S2))):
                 if sb is not None:
                     out = _axis_apply_arr(sb, out, ax, ln)
@@ -793,7 +816,8 @@ def _make_kernel_3d(sp0, sp1, sp2, S2, B0, B1, sl0, sl1,
 
 
 def _make_kernel_2d(sp0, sp1, S1, B0, sl0, lane_roll=0,
-                    interpret=False, sps2=None, exts2=(0, 0)):
+                    interpret=False, sps2=None, exts2=(0, 0),
+                    pair=None):
     def kernel(x_any, out_ref, slab, sem):
         t = jnp.asarray(pl.program_id(0), jnp.int32)
         n_t = jnp.asarray(pl.num_programs(0), jnp.int32)
@@ -820,17 +844,25 @@ def _make_kernel_2d(sp0, sp1, S1, B0, sl0, lane_roll=0,
 
         x = _lane_unroll(slab[slot], lane_roll, interpret)
         e0, e1 = exts2
-        acc = (
-            _axis_apply_arr(sp0, x, 0, B0 + e0)
-            if sp0 is not None else x
-        )
-        # no lane-axis filter: the slab is still lane-padded to a full
-        # 128-lane extent — slice back to the output block width
-        out = (
-            _axis_apply_arr(sp1, acc, 1, S1 + e1)
-            if sp1 is not None else acc[:, :S1 + e1]
-        )
-        if sps2 is not None:
+
+        def chain(s0, s1):
+            acc = (
+                _axis_apply_arr(s0, x, 0, B0 + e0)
+                if s0 is not None else x
+            )
+            # no lane-axis filter: the slab is still lane-padded to a
+            # full 128-lane extent — slice back to the block width
+            return (
+                _axis_apply_arr(s1, acc, 1, S1 + e1)
+                if s1 is not None else acc[:, :S1 + e1]
+            )
+
+        out = chain(sp0, sp1)
+        if pair is not None:
+            out = _pair_combine_out(
+                pair, x, (out, chain(*sps2)), (B0, S1)
+            )
+        elif sps2 is not None:
             for ax, (sb, ln) in enumerate(zip(sps2, (B0, S1))):
                 if sb is not None:
                     out = _axis_apply_arr(sb, out, ax, ln)
@@ -912,6 +944,36 @@ def fused_separable_open_close(
     )
 
 
+def fused_separable_morph_pair(
+    x, sizes, origins, modes, cval=0.0, combine="grad", interpret=False,
+):
+    """Morphological gradient/laplace over a flat rectangular footprint
+    in ONE fused Pallas pass: the dilation and erosion folds read the
+    same halo'd slab, so the two whole-volume filter passes plus the
+    elementwise combine collapse into a single HBM round trip (the
+    reference runs three — cupyimg/scipy/ndimage/morphology.py:991-1054).
+
+    ``combine``: ``"grad"`` = max - min; ``"laplace"`` = max + min - 2x.
+    Both stages read the same padded input, so (unlike the two-stage
+    opening fusion) this is exact for every boundary mode; the driver
+    gates on equal min/max windows (odd sizes, origin 0), where the
+    dilation origin negation is the identity.
+    """
+    kmin = tuple(
+        None if (sz is None or sz <= 1) else ("min", int(sz))
+        for sz in sizes
+    )
+    kmax = tuple(
+        None if (sz is None or sz <= 1) else ("max", int(sz))
+        for sz in sizes
+    )
+    return _fused_separable(
+        x, kmin, tuple(origins), tuple(modes), float(cval),
+        bool(interpret), specs2=kmax, origins2=tuple(origins),
+        pair_combine=combine,
+    )
+
+
 def _spec_size(spec):
     return len(spec[1]) if spec[0] == "corr" else spec[1]
 
@@ -920,11 +982,11 @@ def _spec_size(spec):
     jax.jit,
     static_argnames=(
         "specs", "origins", "modes", "cval", "interpret",
-        "specs2", "origins2",
+        "specs2", "origins2", "pair_combine",
     ),
 )
 def _fused_separable(x, specs, origins, modes, cval, interpret,
-                     specs2=None, origins2=None):
+                     specs2=None, origins2=None, pair_combine=None):
     ndim = x.ndim
     dtype = x.dtype
     shape = x.shape
@@ -981,8 +1043,16 @@ def _fused_separable(x, specs, origins, modes, cval, interpret,
             lo, hi = _window(spec, origins[ax])
             if two_stage:
                 lo2, hi2 = _window(specs2[ax], origins2[ax])
-                lo += lo2
-                hi += hi2
+                if pair_combine is not None:
+                    # pair mode: both folds read the SAME slab, so the
+                    # windows must coincide (the driver gates on this)
+                    if (lo2, hi2) != (lo, hi):
+                        raise ValueError(
+                            "pair fusion requires equal windows"
+                        )
+                else:
+                    lo += lo2
+                    hi += hi2
             pads.append((lo, hi))
             halos.append(lo + hi)
 
@@ -1252,9 +1322,14 @@ def _fused_separable(x, specs, origins, modes, cval, interpret,
 
     exts2 = tuple(
         (_spec_size(specs2[ax]) - 1)
-        if (two_stage and specs2[ax] is not None)
+        if (two_stage and pair_combine is None
+            and specs2[ax] is not None)
         else 0
         for ax in range(ndim)
+    )
+    pair = (
+        None if pair_combine is None
+        else (pair_combine,) + tuple(lo for lo, _ in pads)
     )
     if ndim == 3:
         B0, B1 = blocks
@@ -1262,7 +1337,7 @@ def _fused_separable(x, specs, origins, modes, cval, interpret,
             specs[0], specs[1], specs[2], shape[2],
             B0, B1, slabs[0], slabs[1],
             lane_roll=lane_roll, interpret=interpret,
-            sps2=specs2, exts2=exts2,
+            sps2=specs2, exts2=exts2, pair=pair,
         )
         out = pl.pallas_call(
             kernel,
@@ -1325,7 +1400,7 @@ def _fused_separable(x, specs, origins, modes, cval, interpret,
         kernel = _make_kernel_2d(
             specs[0], specs[1], shape[1], B0, slabs[0],
             lane_roll=lane_roll, interpret=interpret,
-            sps2=specs2, exts2=exts2,
+            sps2=specs2, exts2=exts2, pair=pair,
         )
         out = pl.pallas_call(
             kernel,

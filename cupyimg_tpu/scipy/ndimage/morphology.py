@@ -499,11 +499,60 @@ def grey_closing(
     )
 
 
+def _try_fused_morph_pair(
+    input, size, footprint, structure, mode, cval, origin, axes, combine
+):
+    """One-pass Pallas gradient/laplace for flat rectangular footprints.
+
+    Both folds read the same padded slab, so this is exact for every
+    boundary mode; the gate only requires the min and max windows to
+    coincide (odd sizes, origin 0, where grey_dilation's origin
+    negation is the identity).  Returns None when the two-call path
+    must run.
+    """
+    if footprint is not None or structure is not None or size is None:
+        return None
+    input = jnp.asarray(input)
+    if np.dtype(input.dtype).kind != "f":
+        return None
+    ndim = input.ndim
+    size, footprint, structure, origin = _grey_axes_args(
+        input, size, footprint, structure, origin, axes
+    )
+    if footprint is not None or structure is not None:
+        return None
+    sizes = util.fix_sequence_arg(size, ndim, "size", int)
+    origins = util.fix_sequence_arg(origin, ndim, "origin", int)
+    modes = util.fix_sequence_arg(mode, ndim, "mode", str)
+    for sz, o in zip(sizes, origins):
+        if sz > 1 and (sz % 2 == 0 or o != 0):
+            return None
+    from cupyimg_tpu.ops import pallas_stencil as _ps
+
+    if not _ps.supports(
+        input, [(1.0,) * sz if sz > 1 else None for sz in sizes]
+    ):
+        return None
+    return _ps.fused_separable_morph_pair(
+        input, tuple(sizes), tuple(origins), tuple(modes),
+        float(cval), combine=combine,
+    )
+
+
 def morphological_gradient(
     input, size=None, footprint=None, structure=None, output=None,
     mode="reflect", cval=0.0, origin=0, *, axes=None,
 ):
     """Dilation minus erosion (scipy parity)."""
+    fused = _try_fused_morph_pair(
+        input, size, footprint, structure, mode, cval, origin, axes,
+        combine="grad",
+    )
+    if fused is not None:
+        out_dtype = dtypes.resolve_output_dtype(
+            output, jnp.asarray(input).dtype
+        )
+        return fused.astype(out_dtype)
     d = grey_dilation(input, size, footprint, structure, None, mode, cval,
                       origin, axes=axes)
     e = grey_erosion(input, size, footprint, structure, None, mode, cval,
@@ -518,6 +567,13 @@ def morphological_laplace(
 ):
     """Dilation + erosion - 2*input (scipy parity)."""
     input = jnp.asarray(input)
+    fused = _try_fused_morph_pair(
+        input, size, footprint, structure, mode, cval, origin, axes,
+        combine="laplace",
+    )
+    if fused is not None:
+        out_dtype = dtypes.resolve_output_dtype(output, input.dtype)
+        return fused.astype(out_dtype)
     d = grey_dilation(input, size, footprint, structure, None, mode, cval,
                       origin, axes=axes)
     e = grey_erosion(input, size, footprint, structure, None, mode, cval,

@@ -476,3 +476,64 @@ class TestFusedOpenClose:
         assert _try_fused_open_close(
             x, 5, None, None, "reflect", 0.0, 1, None, True
         ) is None
+
+
+class TestFusedMorphPair:
+    """Shared-slab dilation+erosion folds (gradient / laplace)."""
+
+    @pytest.mark.parametrize("combine", ["grad", "laplace"])
+    @pytest.mark.parametrize(
+        "modes", [("reflect", "reflect"), ("nearest", "constant")]
+    )
+    def test_2d(self, combine, modes):
+        from cupyimg_tpu.ops.pallas_stencil import (
+            fused_separable_morph_pair,
+        )
+
+        x = np.random.RandomState(0).rand(40, 52).astype(np.float32)
+        got = np.asarray(
+            fused_separable_morph_pair(
+                jnp.asarray(x), (5, 3), (0, 0), modes, 0.3,
+                combine=combine, interpret=True,
+            )
+        )
+        mx = sndi.maximum_filter(x, size=(5, 3), mode=list(modes), cval=0.3)
+        mn = sndi.minimum_filter(x, size=(5, 3), mode=list(modes), cval=0.3)
+        exp = (mx - mn) if combine == "grad" else (mx + mn - 2 * x)
+        np.testing.assert_allclose(got, exp, atol=1e-6)
+
+    @pytest.mark.parametrize("combine", ["grad", "laplace"])
+    def test_3d_skip_axis(self, combine):
+        from cupyimg_tpu.ops.pallas_stencil import (
+            fused_separable_morph_pair,
+        )
+
+        x = np.random.RandomState(1).rand(24, 20, 40).astype(np.float32)
+        got = np.asarray(
+            fused_separable_morph_pair(
+                jnp.asarray(x), (3, 1, 5), (0, 0, 0),
+                ("mirror", "wrap", "constant"), combine=combine,
+                interpret=True,
+            )
+        )
+        modes = ["mirror", "wrap", "constant"]
+        mx = sndi.maximum_filter(x, size=(3, 1, 5), mode=modes)
+        mn = sndi.minimum_filter(x, size=(3, 1, 5), mode=modes)
+        exp = (mx - mn) if combine == "grad" else (mx + mn - 2 * x)
+        np.testing.assert_allclose(got, exp, atol=1e-6)
+
+    def test_driver_gate(self):
+        # even size / nonzero origin => unequal min/max windows: decline
+        from cupyimg_tpu.scipy.ndimage.morphology import (
+            _try_fused_morph_pair,
+        )
+
+        x = jnp.asarray(
+            np.random.RandomState(2).rand(32, 32).astype(np.float32)
+        )
+        assert _try_fused_morph_pair(
+            x, 4, None, None, "reflect", 0.0, 0, None, "grad"
+        ) is None
+        assert _try_fused_morph_pair(
+            x, 5, None, None, "reflect", 0.0, 1, None, "grad"
+        ) is None
