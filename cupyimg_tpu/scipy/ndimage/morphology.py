@@ -398,6 +398,32 @@ def grey_dilation(
     )
 
 
+def _flat_rect_sizes(input, size, footprint, structure, origin, axes):
+    """(sizes, origins) per axis when the call describes a flat
+    rectangular footprint on a float input (an all-ones ``footprint`` —
+    e.g. a skimage square/rectangle selem — counts), else None."""
+    if structure is not None:
+        return None
+    if size is None and footprint is None:
+        return None
+    input = jnp.asarray(input)
+    if np.dtype(input.dtype).kind != "f":
+        return None
+    ndim = input.ndim
+    size, footprint, structure, origin = _grey_axes_args(
+        input, size, footprint, structure, origin, axes
+    )
+    if structure is not None:
+        return None
+    origins = util.fix_sequence_arg(origin, ndim, "origin", int)
+    if footprint is not None:
+        fp = np.asarray(footprint, bool)
+        if fp.ndim != ndim or not fp.all():
+            return None
+        return list(fp.shape), origins
+    return util.fix_sequence_arg(size, ndim, "size", int), origins
+
+
 def _try_fused_open_close(
     input, size, footprint, structure, mode, cval, origin, axes, opening
 ):
@@ -408,19 +434,14 @@ def _try_fused_open_close(
     (odd size, origin 0) under the symmetric boundary modes, or any
     window under wrap.  Returns None when the two-call path must run.
     """
-    if footprint is not None or structure is not None or size is None:
-        return None
-    input = jnp.asarray(input)
-    if np.dtype(input.dtype).kind != "f":
-        return None
-    ndim = input.ndim
-    size, footprint, structure, origin = _grey_axes_args(
+    rect = _flat_rect_sizes(
         input, size, footprint, structure, origin, axes
     )
-    if footprint is not None or structure is not None:
+    if rect is None:
         return None
-    sizes = util.fix_sequence_arg(size, ndim, "size", int)
-    origins = util.fix_sequence_arg(origin, ndim, "origin", int)
+    sizes, origins = rect
+    input = jnp.asarray(input)
+    ndim = input.ndim
     modes = util.fix_sequence_arg(mode, ndim, "mode", str)
     for sz, o, m in zip(sizes, origins, modes):
         if sz <= 1:
@@ -510,19 +531,14 @@ def _try_fused_morph_pair(
     negation is the identity).  Returns None when the two-call path
     must run.
     """
-    if footprint is not None or structure is not None or size is None:
-        return None
-    input = jnp.asarray(input)
-    if np.dtype(input.dtype).kind != "f":
-        return None
-    ndim = input.ndim
-    size, footprint, structure, origin = _grey_axes_args(
+    rect = _flat_rect_sizes(
         input, size, footprint, structure, origin, axes
     )
-    if footprint is not None or structure is not None:
+    if rect is None:
         return None
-    sizes = util.fix_sequence_arg(size, ndim, "size", int)
-    origins = util.fix_sequence_arg(origin, ndim, "origin", int)
+    sizes, origins = rect
+    input = jnp.asarray(input)
+    ndim = input.ndim
     modes = util.fix_sequence_arg(mode, ndim, "mode", str)
     for sz, o in zip(sizes, origins):
         if sz > 1 and (sz % 2 == 0 or o != 0):

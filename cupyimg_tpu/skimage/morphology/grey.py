@@ -108,10 +108,26 @@ def dilation(image, selem=None, out=None, shift_x=False, shift_y=False):
     return ndi.grey_dilation(image, footprint=selem)
 
 
+def _odd_flat_rect(image, selem):
+    """True when the selem is an all-ones, all-odd-sided rectangle on a
+    float image: the shift/mirror conventions for eccentric selems are
+    the identity there, so opening/closing can delegate to the fused
+    one-pass ndi path."""
+    selem = np.asarray(selem)
+    return (
+        np.dtype(jnp.asarray(image).dtype).kind == "f"
+        and selem.ndim == jnp.ndim(image)
+        and all(s % 2 == 1 for s in selem.shape)
+        and bool((selem != 0).all())
+    )
+
+
 @default_selem
 @pad_for_eccentric_selems
 def opening(image, selem=None, out=None):
     """Greyscale opening: erosion then dilation (reference grey.py:266-313)."""
+    if _odd_flat_rect(image, selem):
+        return ndi.grey_opening(image, footprint=np.asarray(selem) != 0)
     eroded = erosion(image, selem)
     return dilation(eroded, selem, shift_x=True, shift_y=True)
 
@@ -120,6 +136,8 @@ def opening(image, selem=None, out=None):
 @pad_for_eccentric_selems
 def closing(image, selem=None, out=None):
     """Greyscale closing: dilation then erosion (reference grey.py:316-365)."""
+    if _odd_flat_rect(image, selem):
+        return ndi.grey_closing(image, footprint=np.asarray(selem) != 0)
     dilated = dilation(image, selem)
     return erosion(dilated, selem, shift_x=True, shift_y=True)
 

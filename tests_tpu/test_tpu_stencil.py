@@ -223,3 +223,60 @@ class TestMinMaxMorph:
         got = ndi.binary_dilation(jnp.asarray(b), structure=jnp.asarray(st))
         want = sndi.binary_dilation(b, structure=st)
         np.testing.assert_array_equal(np.asarray(got), want)
+
+
+class TestFusedMorphCompound:
+    """Opening/closing and gradient/laplace fused single-pass dispatch."""
+
+    def test_open_close_dispatch_and_exact(self):
+        x, xj = _data(SHAPE_2D, seed=11)
+        _assert_pallas(lambda v: ndi.grey_opening(v, size=5), xj)
+        for f, sf in [(ndi.grey_opening, sndi.grey_opening),
+                      (ndi.grey_closing, sndi.grey_closing)]:
+            got = np.asarray(f(xj, size=5))
+            np.testing.assert_array_equal(got, sf(x, size=5))
+
+    def test_open_3d_mixed(self):
+        x, xj = _data(SHAPE_3D, seed=12)
+        got = np.asarray(ndi.grey_opening(xj, size=(3, 5, 3), mode="mirror"))
+        np.testing.assert_array_equal(
+            got, sndi.grey_opening(x, size=(3, 5, 3), mode="mirror")
+        )
+
+    def test_ones_footprint_routes_fused(self):
+        x, xj = _data(SHAPE_2D, seed=13)
+        fp = np.ones((5, 3), bool)
+        _assert_pallas(lambda v: ndi.grey_closing(v, footprint=fp), xj)
+        got = np.asarray(ndi.grey_closing(xj, footprint=fp))
+        np.testing.assert_array_equal(got, sndi.grey_closing(x, footprint=fp))
+
+    def test_gradient_laplace_dispatch_and_exact(self):
+        x, xj = _data(SHAPE_2D, seed=14)
+        _assert_pallas(
+            lambda v: ndi.morphological_gradient(v, size=5), xj
+        )
+        got = np.asarray(ndi.morphological_gradient(xj, size=5))
+        np.testing.assert_array_equal(
+            got, sndi.morphological_gradient(x, size=5)
+        )
+        got = np.asarray(ndi.morphological_laplace(xj, size=5))
+        assert_close(got, sndi.morphological_laplace(x, size=5), atol=2e-6)
+
+    def test_gradient_constant_mode_exact(self):
+        # pair fusion is exact for every mode (same slab, no stage-2
+        # extension) — pin the non-symmetric modes too
+        x, xj = _data(SHAPE_3D, seed=15)
+        got = np.asarray(
+            ndi.morphological_gradient(xj, size=3, mode="constant", cval=0.5)
+        )
+        np.testing.assert_array_equal(
+            got, sndi.morphological_gradient(x, size=3, mode="constant",
+                                             cval=0.5)
+        )
+
+    def test_tophat_inherits_fused(self):
+        x, xj = _data(SHAPE_2D, seed=16)
+        got = np.asarray(ndi.white_tophat(xj, size=5))
+        np.testing.assert_array_equal(got, sndi.white_tophat(x, size=5))
+        got = np.asarray(ndi.black_tophat(xj, size=5))
+        np.testing.assert_array_equal(got, sndi.black_tophat(x, size=5))
