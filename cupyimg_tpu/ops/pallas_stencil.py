@@ -161,11 +161,43 @@ def _axis_minmax_log(kind, size, arr, axis, out_len):
     return m
 
 
+def _axis_sum_log(arr, axis, n, out_len):
+    """Length-``n`` window sum along ``axis`` in O(log n) shifted-slice
+    adds via binary decomposition: doubling builds the 2^k-window
+    partial sums (p_{2w} = p_w + shift(p_w, w), windows disjoint so —
+    unlike min/max — no overlapping fold is allowed) and each set bit
+    of ``n`` contributes its partial at the running offset.  Cuts the
+    uniform-filter VPU work per axis from n-1 adds (+ rotations) to
+    ~popcount(n) + floor(log2 n) - 1."""
+
+    def sl(a, k, ln):
+        idx = [slice(None)] * a.ndim
+        idx[axis] = slice(k, k + ln)
+        return a[tuple(idx)]
+
+    p = arr  # 1-window partial sums
+    w = 1
+    acc = None
+    offset = 0
+    nn = n
+    while nn:
+        if nn & 1:
+            seg = sl(p, offset, out_len)
+            acc = seg if acc is None else acc + seg
+            offset += w
+        nn >>= 1
+        if nn:
+            ln = p.shape[axis] - w
+            p = sl(p, 0, ln) + sl(p, w, ln)
+            w *= 2
+    return acc
+
+
 def _axis_apply_arr(spec, arr, axis, out_len, off=0):
     """Like :func:`_axis_apply` but operating on the array directly so
-    min/max can use the logarithmic fold.  ``off`` skips that many
-    leading elements of ``axis`` before the window starts (used by the
-    padless plan's sublane-alignment lead rows)."""
+    min/max and uniform sums can use logarithmic folds.  ``off`` skips
+    that many leading elements of ``axis`` before the window starts
+    (used by the padless plan's sublane-alignment lead rows)."""
     kind, arg = spec
     if kind != "corr":
         if off:
@@ -173,6 +205,15 @@ def _axis_apply_arr(spec, arr, axis, out_len, off=0):
                 arr, off, arr.shape[axis], axis=axis
             )
         return _axis_minmax_log(kind, arg, arr, axis, out_len)
+
+    n = len(arg)
+    if n >= 4 and all(v == arg[0] for v in arg):
+        if off:
+            arr = jax.lax.slice_in_dim(
+                arr, off, arr.shape[axis], axis=axis
+            )
+        acc = _axis_sum_log(arr, axis, n, out_len)
+        return acc * arg[0] if arg[0] != 1.0 else acc
 
     def get_slice(k):
         idx = [slice(None)] * arr.ndim
@@ -546,9 +587,13 @@ def _make_kernel_3d_lanemm(sp0, sp1, S2, B0, B1, sl0, sl1, exact=False,
         )
         flat = acc1.reshape(B0 * B1, S2)
         if exact:
-            # interpret mode (CPU tests): plain f32 dot, bitwise-clean
+            # interpret mode (CPU tests): true-f32 dot.  Pallas
+            # interpret lowers default-precision dots at TPU-emulating
+            # bf16 even on CPU, so HIGHEST is required for the tier's
+            # 1e-6 tolerances.
             out = jnp.dot(flat, bmat[:],
-                          preferred_element_type=jnp.float32)
+                          preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
         else:
             fhi, flo = split3(flat)
             bhi, blo = split3(bmat[:])
@@ -693,7 +738,8 @@ def _make_kernel_2d_lanemm(sp0, B0, sl0, lane_in, n_tiles, exact=False,
             for j in range(n_tiles):
                 seg = acc[:, 128 * j : 128 * j + 256]
                 out_ref[:, 128 * j : 128 * (j + 1)] = jnp.dot(
-                    seg, wmat[:], preferred_element_type=jnp.float32
+                    seg, wmat[:], preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
                 ).astype(out_ref.dtype)
         else:
             whi, wlo = split3(wmat[:])
@@ -1584,7 +1630,8 @@ def _make_dense_kernel_2d_lanemm(taps, wshape, B0, sl0, n_tiles,
                 for r, ki in enumerate(row_kis):
                     seg = x[ki : ki + B0, 128 * j : 128 * j + 256]
                     o = jnp.dot(seg, wmat[r],
-                                preferred_element_type=jnp.float32)
+                                preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.HIGHEST)
                     acc = o if acc is None else acc + o
                 out_ref[:, 128 * j : 128 * (j + 1)] = acc.astype(
                     out_ref.dtype
